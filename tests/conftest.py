@@ -1,0 +1,20 @@
+"""Test harness configuration.
+
+All tests run on a virtual 8-device CPU mesh so that sharding paths are
+exercised without TPU hardware (mirrors the reference's backend-matrix harness,
+`/root/reference/test/runtests.jl:22-33`; our backend axis is
+{single-device, 8-device-mesh} instead of {Array, CuArray, ROCArray}).
+
+Note: the env-var form `JAX_PLATFORMS=cpu` is overridden by the TPU plugin in
+this environment, so the platform is forced through `jax.config` instead.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,16 @@
+"""waterlily_tpu — a TPU-native incompressible Navier-Stokes solver.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of WaterLily.jl
+(reference: TzuYaoHuang/WaterLily.jl): 2D/3D unsteady incompressible flow on a
+staggered Cartesian grid, immersed bodies via the Boundary Data Immersion
+Method, a semi-coarsened geometric-multigrid pressure solver, moving/deforming
+geometry from signed-distance functions differentiated with JAX AD, and
+end-to-end differentiability of whole simulations via `jax.jacfwd`.
+
+The compute path is pure-functional jnp/Pallas over pytree states, jitted into
+single XLA programs per time step; multi-chip scaling shards the domain over a
+`jax.sharding.Mesh` (the halo exchanges ride XLA collective-permutes over ICI).
+"""
+from .ops import bc, grid, multigrid, poisson  # noqa: F401
+
+__version__ = "0.1.0"

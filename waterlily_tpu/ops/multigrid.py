@@ -1,0 +1,201 @@
+"""Geometric multigrid with semi-coarsening for the pressure Poisson equation.
+
+TPU-native port of `/root/reference/src/MultiLevelPoisson.jl`.  The level stack
+is a tuple of `PoissonLevel`s whose shapes/coarsening masks are computed in
+Python (static under jit); restriction/prolongation are reshape/`repeat` ops on
+the interior slabs, which XLA lowers to layout changes fused with the
+neighbouring smoother sweeps.  Anisotropic (channel/duct) domains coarsen only
+the still-divisible directions (`coarsen_mask`, `MultiLevelPoisson.jl:29-54`).
+
+The V-cycle recursion is unrolled over the static level list; the outer
+iteration with the adaptive relaxation ω and the dual-norm stopping criterion
+(`MultiLevelPoisson.jl:108-128`) runs as a `lax.while_loop` on device scalars,
+so a full pressure solve is a single XLA computation with no host round trips.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .bc import bc_vector, per_bc
+from .grid import grow, interior
+from .poisson import (PoissonLevel, gauss_seidel_rb, jacobi, increment,
+                      make_level, l1n_tol, norms, residual)
+
+__all__ = [
+    "divisible", "coarsen_mask", "coarse_shape", "level_shapes",
+    "restrict", "prolongate", "restrict_L", "make_mg", "update_mg",
+    "v_cycle", "solve_mg", "MGSolveResult",
+]
+
+
+def divisible(n: int) -> bool:
+    """A padded dimension can be coarsened if even and > 4
+    (`MultiLevelPoisson.jl:52`)."""
+    return n % 2 == 0 and n > 4
+
+
+def coarsen_mask(shape: tuple[int, ...]) -> tuple[bool, ...]:
+    return tuple(divisible(n) for n in shape)
+
+
+def coarse_shape(shape: tuple[int, ...], c: tuple[bool, ...]) -> tuple[int, ...]:
+    return tuple(1 + n // 2 if ci else n for n, ci in zip(shape, c))
+
+
+def level_shapes(shape: tuple[int, ...], maxlevels: int = 10):
+    """Shapes and per-transition coarsening masks of the level stack
+    (`MultiLevelPoisson.jl:68-77`)."""
+    shapes, masks = [tuple(shape)], []
+    while any(coarsen_mask(shapes[-1])) and len(shapes) <= maxlevels:
+        c = coarsen_mask(shapes[-1])
+        masks.append(c)
+        shapes.append(coarse_shape(shapes[-1], c))
+    if len(shapes) <= 2:
+        raise ValueError("MultiLevelPoisson requires size=a2^n, where n>2")
+    return shapes, masks
+
+
+def _pair_sum(a: jax.Array, axis: int) -> jax.Array:
+    """Sum adjacent pairs along ``axis`` (length must be even)."""
+    n = a.shape[axis]
+    lo = (slice(None),) * axis + (slice(0, n, 2),)
+    hi = (slice(None),) * axis + (slice(1, n, 2),)
+    return a[lo] + a[hi]
+
+
+def restrict(b: jax.Array, c: tuple[bool, ...]) -> jax.Array:
+    """Residual restriction: sum the 2^k fine children of each coarse cell in
+    the coarsened directions (`restrict`, `MultiLevelPoisson.jl:16-19,49`).
+    Fine interior index pairs (2ic-1, 2ic) map to coarse interior cell ic."""
+    a = interior(b)
+    for d, ci in enumerate(c):
+        if ci:
+            a = _pair_sum(a, d)
+    return grow(a)
+
+
+def prolongate(b: jax.Array, c: tuple[bool, ...]) -> jax.Array:
+    """Injection prolongation: each fine interior cell copies its coarse
+    parent (`prolongate!`/`down`, `MultiLevelPoisson.jl:8,50`).  Ghosts zero."""
+    a = interior(b)
+    for d, ci in enumerate(c):
+        if ci:
+            a = jnp.repeat(a, 2, axis=d)
+    return grow(a)
+
+
+def restrict_L(Lf: jax.Array, c: tuple[bool, ...],
+               perdir: tuple[int, ...] = ()) -> jax.Array:
+    """Restrict face coefficients (`restrictL`/`restrictL!`,
+    `MultiLevelPoisson.jl:10-26,42-47`): a coarse ``i``-face sums the fine
+    faces composing it — the face-normal direction keeps only the fine face at
+    the coarse-face position (odd fine interior index) and is halved when
+    coarsened; tangential coarsened directions pair-sum.  Boundary faces are
+    fixed by the zero-velocity vector BC, exactly like the reference."""
+    D = Lf.shape[0]
+    comps = []
+    for i in range(D):
+        a = interior(Lf[i])
+        for d, ci in enumerate(c):
+            if not ci:
+                continue
+            if d == i:  # face-normal: take the face at the pair start
+                n = a.shape[d]
+                a = a[(slice(None),) * d + (slice(0, n, 2),)]
+            else:
+                a = _pair_sum(a, d)
+        if c[i]:
+            a = a / 2
+        comps.append(grow(a))
+    Lc = jnp.stack(comps)
+    return bc_vector(Lc, (0.0,) * D, save_exit=False, perdir=perdir)
+
+
+def make_mg(mu0: jax.Array, perdir: tuple[int, ...] = (), maxlevels: int = 10):
+    """Build the level stack from the fine face coefficients (= the BDIM
+    zeroth moment ``mu0``, `src/WaterLily.jl:97`).  Returns
+    ``(levels, masks)``; ``masks`` is static python data."""
+    shapes, masks = level_shapes(mu0.shape[1:], maxlevels)
+    levels = [make_level(mu0)]
+    L = mu0
+    for c in masks:
+        L = restrict_L(L, c, perdir)
+        levels.append(make_level(L))
+    return tuple(levels), tuple(masks)
+
+
+def update_mg(levels, masks, mu0: jax.Array, perdir: tuple[int, ...] = ()):
+    """Re-restrict the coefficients down every level after a body re-measure
+    (`update!`, `MultiLevelPoisson.jl:79-86`)."""
+    new = [make_level(mu0)]
+    L = mu0
+    for c in masks:
+        L = restrict_L(L, c, perdir)
+        new.append(make_level(L))
+    return tuple(new)
+
+
+def v_cycle(levels, masks, x: jax.Array, r: jax.Array, omega,
+            perdir: tuple[int, ...] = (), l: int = 0, smooth_it: int = 4):
+    """One V-cycle (`Vcycle!`, `MultiLevelPoisson.jl:88-101`): fine Jacobi
+    pre-smooth, restrict residual, recurse, coarse red-black Gauss-Seidel,
+    prolongate + increment.  Unrolled over the static level list."""
+    fine, coarse = levels[l], levels[l + 1]
+    c = masks[l]
+    x, r = jacobi(fine, x, r, it=1, omega=1.0, perdir=perdir)
+    rc = restrict(r, c)
+    xc = jnp.zeros_like(rc)
+    if l + 1 < len(levels) - 1:
+        xc, rc = v_cycle(levels, masks, xc, rc, omega, perdir, l + 1, smooth_it)
+    xc, rc = gauss_seidel_rb(coarse, xc, rc, it=smooth_it, omega=omega, perdir=perdir)
+    eps = prolongate(xc, c)
+    return increment(fine, x, r, eps, omega, perdir)
+
+
+class MGSolveResult(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    iters: jax.Array          # int32 scalar
+    stats: jax.Array          # (itmx+1, 3): r_inf, r_1, omega per iteration
+
+
+def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
+             itmx: int = 32, perdir: tuple[int, ...] = (),
+             smooth_it: int = 4) -> MGSolveResult:
+    """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
+    V-cycle + fine smooth per iteration, adaptive relaxation
+    ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
+    ``L1 < tol/10·N`` ∧ ``Linf < tol``, all on device scalars."""
+    p = levels[0]
+    dtype = x.dtype
+    r1tol = jnp.asarray(l1n_tol(x.shape, tol), dtype)
+    rinf_tol = jnp.asarray(tol, dtype)
+    r = residual(p, x, z, perdir)
+    r1, rinf = norms(r)
+    omega = jnp.asarray(1.0, dtype)
+    stats = jnp.zeros((itmx + 1, 3), dtype).at[0].set(jnp.stack([rinf, r1, omega]))
+
+    def cond(c):
+        x, r, r1, rinf, omega, n, stats = c
+        return (n < itmx) & ~((r1 < r1tol) & (rinf < rinf_tol))
+
+    def body(c):
+        x, r, r1, rinf, omega, n, stats = c
+        x, r = v_cycle(levels, masks, x, r, omega, perdir, 0, smooth_it)
+        x, r = gauss_seidel_rb(p, x, r, it=smooth_it, omega=omega, perdir=perdir)
+        rnew, rinf = norms(r)
+        omega = jnp.where(rnew >= r1,
+                          jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),
+                          jnp.minimum(jnp.asarray(1.0, dtype), 1.02 * omega))
+        n = n + 1
+        stats = jax.lax.dynamic_update_slice(
+            stats, jnp.stack([rinf, rnew, omega])[None], (n, 0))
+        return (x, r, rnew, rinf, omega, n, stats)
+
+    x, r, r1, rinf, omega, n, stats = jax.lax.while_loop(
+        cond, body, (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats))
+    return MGSolveResult(per_bc(x, perdir), r, n, stats)

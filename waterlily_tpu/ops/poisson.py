@@ -1,0 +1,224 @@
+"""Matrix-free variable-coefficient Poisson operator and smoothers.
+
+TPU-native port of `/root/reference/src/Poisson.jl`.  The system is
+
+    A x = [L + D + L'] x = z,   D[I] = -sum_i (L[I,i] + L[I+e_i,i])
+
+with face coefficients ``L`` of shape ``(D, *Ng)`` (aliased to the BDIM moment
+``mu0`` on the fine level, `src/WaterLily.jl:97`).  Every op is a pure function
+over full padded arrays; residual/increment state lives in the caller.  All
+stencils are roll-based shifts that XLA fuses into single VPU loops (the
+red-black sweep is a masked two-color update — the coloring trick of
+`Poisson.jl:124-148` expressed as a checkerboard select).
+
+A level is the NamedTuple ``PoissonLevel(L, D, iD)``; ``x``/``r``/``eps`` are
+transient arrays threaded by the solvers.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .bc import per_bc
+from .grid import index_sum_parity, interior, grow, shift
+
+__all__ = [
+    "PoissonLevel", "make_level", "set_diag", "mult", "residual", "increment",
+    "jacobi", "gauss_seidel_rb", "pcg", "norms", "solve", "l1n_tol",
+]
+
+
+class PoissonLevel(NamedTuple):
+    L: jax.Array    # (D, *Ng) lower-face coefficients
+    D: jax.Array    # (*Ng) diagonal, 0 in ghosts
+    iD: jax.Array   # (*Ng) 1/diagonal, 0 where D == 0
+
+
+def _zero_ghost(a: jax.Array) -> jax.Array:
+    """Zero the ghost layer of a scalar field (slice + pad; fused by XLA)."""
+    return grow(interior(a))
+
+
+def set_diag(L: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Diagonal and its guarded inverse (`Poisson.jl:43-55`)."""
+    Dim = L.shape[0]
+    d = jnp.zeros(L.shape[1:], L.dtype)
+    for i in range(Dim):
+        d = d - (L[i] + shift(L[i], i, 1))
+    d = _zero_ghost(d)
+    iD = jnp.where(d == 0, jnp.zeros_like(d), 1.0 / jnp.where(d == 0, 1.0, d))
+    return d, iD
+
+
+def make_level(L: jax.Array) -> PoissonLevel:
+    d, iD = set_diag(L)
+    return PoissonLevel(L, d, iD)
+
+
+def _mult_raw(p: PoissonLevel, x: jax.Array) -> jax.Array:
+    """A·x on the interior assuming ghosts of ``x`` are already consistent
+    (`mult`, `Poisson.jl:70-76`)."""
+    s = x * p.D
+    for i in range(p.L.shape[0]):
+        s = s + shift(x, i, -1) * p.L[i] + shift(x, i, 1) * shift(p.L[i], i, 1)
+    return _zero_ghost(s)
+
+
+def mult(p: PoissonLevel, x: jax.Array, perdir: tuple[int, ...] = ()) -> jax.Array:
+    """A·x with periodic ghosts refreshed first (`mult!`, `Poisson.jl:63-68`).
+    Ghost entries of the result are zero."""
+    return _mult_raw(p, per_bc(x, perdir))
+
+
+def residual(p: PoissonLevel, x: jax.Array, z: jax.Array,
+             perdir: tuple[int, ...] = ()) -> jax.Array:
+    """r = z - A·x with the two null-space fixes of `Poisson.jl:92-98`:
+    r = 0 where iD == 0 (local satisfiability) and mean(r) subtracted
+    (global satisfiability)."""
+    r = jnp.where(p.iD == 0, 0.0, z - mult(p, x, perdir))
+    r = _zero_ghost(r)
+    n_inside = math.prod(n - 2 for n in x.shape)
+    s = jnp.sum(r) / n_inside
+    eps2 = 2 * jnp.finfo(x.dtype).eps
+    r = r - jnp.where(jnp.abs(s) <= eps2, 0.0, s) * _inside_ones(x)
+    return r
+
+
+def _inside_ones(x: jax.Array) -> jax.Array:
+    return _zero_ghost(jnp.ones_like(x))
+
+
+def increment(p: PoissonLevel, x: jax.Array, r: jax.Array, eps: jax.Array,
+              omega=1.0, perdir: tuple[int, ...] = ()):
+    """x += ω·eps, r -= ω·A·eps on the interior (`increment!`,
+    `Poisson.jl:100-104`)."""
+    eps = per_bc(eps, perdir)
+    r = r - omega * _mult_raw(p, eps)
+    x = x + omega * _zero_ghost(eps)
+    return x, r
+
+
+def jacobi(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 1, omega=1.0,
+           perdir: tuple[int, ...] = ()):
+    """Jacobi smoother (`Jacobi!`, `Poisson.jl:111-114`)."""
+    for _ in range(it):
+        eps = _zero_ghost(r * p.iD)
+        x, r = increment(p, x, r, eps, omega, perdir)
+    return x, r
+
+
+def _gauss(p: PoissonLevel, r: jax.Array, eps: jax.Array) -> jax.Array:
+    """Elementwise Gauss-Seidel update value (`gauss`, `Poisson.jl:116-123`)."""
+    s = r
+    for i in range(p.L.shape[0]):
+        s = s - (shift(eps, i, -1) * p.L[i] + shift(eps, i, 1) * shift(p.L[i], i, 1))
+    return s * p.iD
+
+
+def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
+                    omega=1.0, perdir: tuple[int, ...] = ()):
+    """Red-black Gauss-Seidel smoother (`GaussSeidelRB!`, `Poisson.jl:141-148`).
+
+    The reference's k-plane coloring (`gauss_rb`/`half_rangek`,
+    `Poisson.jl:124-132`) updates, on sweep ``k0``, exactly the interior cells
+    whose 1-based index sum is of parity ``(k0+1) % 2``; here that is a
+    checkerboard-masked whole-array update — embarrassingly parallel by
+    construction, which is why the reference chose RB in the first place.
+    """
+    eps = per_bc(_zero_ghost(r * p.iD), perdir)
+    Dim = p.L.shape[0]
+    parity = index_sum_parity(x.shape)           # sum of 0-based indices % 2
+    inside = _inside_ones(x) > 0
+    for k0 in range(1, it + 1):
+        color = ((parity + Dim + k0) % 2 == 1) & inside
+        eps = jnp.where(color, _gauss(p, r, eps), eps)
+    return increment(p, x, r, eps, omega, perdir)
+
+
+def _pdot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Interior dot product (`perdot`, `Poisson.jl:153-158`).  Ghosts of the
+    solver residual/source are zero by construction, so the interior dot is
+    also the full dot for the non-periodic case."""
+    return jnp.sum(interior(a) * interior(b))
+
+
+def pcg(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 6,
+        perdir: tuple[int, ...] = ()):
+    """Jacobi-preconditioned conjugate-gradient smoother with the reference's
+    early-exit guards (`pcg!`, `Poisson.jl:166-186`), restructured as a
+    `lax.while_loop` so it can run inside a jitted solver."""
+    dtype = x.dtype
+    tiny = 10 * jnp.finfo(dtype).eps
+    z0 = _zero_ghost(r * p.iD)
+    rho0 = jnp.sum(r * z0)
+    go0 = jnp.abs(rho0) >= tiny
+
+    def cond(c):
+        return c[-1]
+
+    def body(c):
+        x, r, eps, rho, i, _ = c
+        epsb = per_bc(eps, perdir)
+        zz = _mult_raw(p, epsb)
+        alpha = rho / _pdot(zz, epsb)
+        bad = (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)  # alpha ~ O(1)
+        a = jnp.where(bad, 0.0, alpha)
+        x = x + a * _zero_ghost(epsb)
+        r = r - a * zz
+        z2 = _zero_ghost(r * p.iD)
+        rho2 = jnp.sum(r * z2)
+        go = (~bad) & (i + 1 < it) & (jnp.abs(rho2) >= tiny)
+        eps2 = _zero_ghost((rho2 / rho) * epsb + z2)
+        eps = jnp.where(go, eps2, epsb)
+        return (x, r, eps, rho2, i + 1, go)
+
+    x, r, *_ = jax.lax.while_loop(cond, body, (x, r, z0, rho0, 0, go0))
+    return x, r
+
+
+def norms(r: jax.Array):
+    """(L1, Linf) of the residual; ghosts are zero so full-array reductions
+    equal the interior ones (`Poisson.jl:188-191`)."""
+    a = jnp.abs(r)
+    return jnp.sum(a), jnp.max(a)
+
+
+def l1n_tol(shape: tuple[int, ...], tol: float) -> float:
+    """Mean-residual tolerance: L1 < (tol/10)·N_inside (`Poisson.jl:194`)."""
+    return (tol / 10.0) * math.prod(n - 2 for n in shape)
+
+
+def solve(p: PoissonLevel, x: jax.Array, z: jax.Array, tol: float = 2e-3,
+          itmx: int = 1000, perdir: tuple[int, ...] = ()):
+    """Standalone PCG Poisson solver (`solver!`, `Poisson.jl:212-223`).
+
+    Returns ``(x, r, n_iters, stats)`` where ``stats[k] = (r_inf, r_1)`` after
+    iteration ``k`` (row 0 = initial residual) — the device-resident analog of
+    the `@log` pressure-solver channel (`src/core.jl:4-24`).
+    """
+    dtype = x.dtype
+    r1tol = jnp.asarray(l1n_tol(x.shape, tol), dtype)
+    rinf_tol = jnp.asarray(tol, dtype)
+    r = residual(p, x, z, perdir)
+    r1, rinf = norms(r)
+    stats = jnp.zeros((itmx + 1, 2), dtype).at[0].set(jnp.stack([rinf, r1]))
+
+    def cond(c):
+        x, r, r1, rinf, n, stats = c
+        return (n < itmx) & ~((r1 < r1tol) & (rinf < rinf_tol))
+
+    def body(c):
+        x, r, r1, rinf, n, stats = c
+        x, r = pcg(p, x, r, it=6, perdir=perdir)
+        r1, rinf = norms(r)
+        n = n + 1
+        stats = jax.lax.dynamic_update_slice(stats, jnp.stack([rinf, r1])[None], (n, 0))
+        return (x, r, r1, rinf, n, stats)
+
+    x, r, r1, rinf, n, stats = jax.lax.while_loop(
+        cond, body, (x, r, r1, rinf, jnp.asarray(0, jnp.int32), stats))
+    return per_bc(x, perdir), r, n, stats
