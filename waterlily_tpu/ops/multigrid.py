@@ -193,7 +193,7 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
                           jnp.minimum(jnp.asarray(1.0, dtype), 1.02 * omega))
         n = n + 1
         stats = jax.lax.dynamic_update_slice(
-            stats, jnp.stack([rinf, rnew, omega])[None], (n, 0))
+            stats, jnp.stack([rinf, rnew, omega])[None], (n, jnp.asarray(0, n.dtype)))
         return (x, r, rnew, rinf, omega, n, stats)
 
     x, r, r1, rinf, omega, n, stats = jax.lax.while_loop(

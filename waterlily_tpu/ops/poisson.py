@@ -216,7 +216,7 @@ def solve(p: PoissonLevel, x: jax.Array, z: jax.Array, tol: float = 2e-3,
         x, r = pcg(p, x, r, it=6, perdir=perdir)
         r1, rinf = norms(r)
         n = n + 1
-        stats = jax.lax.dynamic_update_slice(stats, jnp.stack([rinf, r1])[None], (n, 0))
+        stats = jax.lax.dynamic_update_slice(stats, jnp.stack([rinf, r1])[None], (n, jnp.asarray(0, n.dtype)))
         return (x, r, r1, rinf, n, stats)
 
     x, r, r1, rinf, n, stats = jax.lax.while_loop(
