@@ -11,6 +11,10 @@ The compute path is pure-functional jnp/Pallas over pytree states, jitted into
 single XLA programs per time step; multi-chip scaling shards the domain over a
 `jax.sharding.Mesh` (the halo exchanges ride XLA collective-permutes over ICI).
 """
+from .models import (AutoBody, Body, Flow, FlowCfg, FlowState, NoBody,  # noqa: F401
+                     RigidMap, SetBody, cds, curvature, measure_fill,
+                     measure_sdf, mom_step, quick, setmap, vanleer)
 from .ops import bc, grid, multigrid, poisson  # noqa: F401
+from .simulation import Simulation  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,207 @@
+"""Immersed-body framework: BDIM kernel moments, CSG set bodies, field measure.
+
+TPU-native port of `/root/reference/src/Body.jl`.  Bodies are pytrees whose
+array leaves (motion parameters) are traced, so moving-body re-measure steps
+never trigger recompilation; geometry callables (sdf/map) are static aux data.
+
+`measure_fill` evaluates the body at every interior cell/face with a single
+vmapped sweep per face direction (the dense-TPU analog of the reference's
+narrow-band kernel, `Body.jl:28-51`: with vmap there is no divergence win in
+skipping cells, and `jnp.where` applies the same band selection).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bc import bc_vector
+from ..ops.grid import grow, loc_grid
+
+__all__ = [
+    "Body", "NoBody", "SetBody", "kern", "kern0", "kern1",
+    "mu0_kernel", "mu1_kernel", "measure_fill", "measure_sdf",
+]
+
+
+INF = float("inf")
+
+
+class Body:
+    """Body protocol (`AbstractBody`, `Body.jl:13`): subtypes implement
+
+        d, n, V = body.measure_at(x, t, fastd2)
+
+    with signed distance ``d``, outward normal ``n`` and velocity ``V`` at the
+    point ``x`` (a ``(D,)`` jnp vector).  The fast path may return
+    ``(d, 0, 0)`` when ``d² > fastd2``."""
+
+    def measure_at(self, x, t, fastd2=INF):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def sdf_at(self, x, t):
+        """Distance only (`sdf`, `Body.jl:66-68`): fastd2=0 short-circuits
+        the normal/velocity evaluation everywhere."""
+        return self.measure_at(x, t, fastd2=0.0)[0]
+
+    # CSG operators (`SetBody` lazy constructors, `Body.jl:91-108`)
+    def __add__(self, other):
+        return SetBody("min", self, other)
+
+    __or__ = __add__
+    union = __add__
+
+    def __and__(self, other):
+        return SetBody("max", self, other)
+
+    intersect = __and__
+
+    def __neg__(self):
+        return SetBody("neg", self, NoBody())
+
+    def __sub__(self, other):
+        return self & (-other)
+
+
+@jax.tree_util.register_pytree_node_class
+class NoBody(Body):
+    """Fluid-only placeholder (`NoBody`, `Body.jl:81-83`)."""
+
+    def measure_at(self, x, t, fastd2=INF):
+        return jnp.asarray(INF, x.dtype), jnp.zeros_like(x), jnp.zeros_like(x)
+
+    def tree_flatten(self):
+        return (), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls()
+
+    def __eq__(self, other):
+        return isinstance(other, NoBody)
+
+    def __hash__(self):
+        return hash(NoBody)
+
+
+@jax.tree_util.register_pytree_node_class
+class SetBody(Body):
+    """Lazy CSG composition (`SetBody`, `Body.jl:91-108`): union = min by
+    distance, intersection = max, complement flips distance and normal."""
+
+    def __init__(self, op: str, a: Body, b: Body):
+        assert op in ("min", "max", "neg")
+        self.op, self.a, self.b = op, a, b
+
+    def measure_at(self, x, t, fastd2=INF):
+        da, na, Va = self.a.measure_at(x, t, fastd2)
+        if self.op == "neg":
+            return -da, -na, Va
+        db, nb, Vb = self.b.measure_at(x, t, fastd2)
+        pick_a = (da <= db) if self.op == "min" else (da >= db)
+        return (jnp.where(pick_a, da, db),
+                jnp.where(pick_a, na, nb),
+                jnp.where(pick_a, Va, Vb))
+
+    def tree_flatten(self):
+        return (self.a, self.b), self.op
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux, *children)
+
+
+# --------------------------------------------------- BDIM kernel moments
+def kern(d):
+    """Immersion kernel (`Body.jl:54`)."""
+    return (1 + jnp.cos(jnp.pi * d)) / 2
+
+
+def kern0(d):
+    """Zeroth kernel moment (`Body.jl:55`)."""
+    return (1 + d + jnp.sin(jnp.pi * d) / jnp.pi) / 2
+
+
+def kern1(d):
+    """First kernel moment (`Body.jl:56`)."""
+    return ((1 - d**2) / 4
+            - (d * jnp.sin(jnp.pi * d) + (1 + jnp.cos(jnp.pi * d)) / jnp.pi)
+            / (2 * jnp.pi))
+
+
+def mu0_kernel(d, eps_k):
+    """Clamped zeroth moment, truncated at -1+sqrt(eps) to bound 1/mu0 in the
+    fluid (`Body.jl:59`)."""
+    s = d / eps_k
+    cut = -1 + math.sqrt(jnp.finfo(jnp.result_type(d)).eps)
+    return jnp.where(s < cut, 0.0, kern0(jnp.minimum(s, 1.0)))
+
+
+def mu1_kernel(d, eps_k):
+    """Clamped first moment (`Body.jl:60`)."""
+    return eps_k * kern1(jnp.clip(d / eps_k, -1.0, 1.0))
+
+
+# --------------------------------------------------- field measure
+def measure_sdf(body: Body, shape: tuple[int, ...], t=0.0,
+                dtype=jnp.float32, fastd2: float = 0.0) -> jax.Array:
+    """Signed distance at every cell center (`measure_sdf!`, `Body.jl:74`);
+    ghost values zero."""
+    D = len(shape)
+    inner = tuple(n - 2 for n in shape)
+    coords = loc_grid(None, shape, dtype)[(slice(None),) + (slice(1, -1),) * D]
+    flat = coords.reshape(D, -1).T
+    t = jnp.asarray(t, dtype)
+    vals = jax.vmap(lambda x: body.measure_at(x, t, fastd2)[0])(flat)
+    return grow(vals.reshape(inner).astype(dtype))
+
+
+def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
+                 dtype=jnp.float32, perdir: tuple[int, ...] = (),
+                 exit_bc: bool = False):
+    """Fill the BDIM arrays ``(V, mu0, mu1, sdf)`` from the body geometry
+    (`measure!`, `Body.jl:28-51`).
+
+    Per face direction the body is measured at the face location; the distance
+    sign is made consistent with the cell-center sdf outside |d| <= 0.5, the
+    kernel moments are evaluated, and everything is selected against the
+    narrow band ``sdf² < (2+eps)²`` (mu0 = 0 deep inside the body, 1 in the
+    fluid).  Returns full padded arrays with the reference's ghost treatment:
+    zero-velocity vector BC on mu0 and V.
+    """
+    D = len(shape)
+    inner = tuple(n - 2 for n in shape)
+    band2 = float((2.0 + eps_k) ** 2)
+    t = jnp.asarray(t, dtype)
+
+    sigma = measure_sdf(body, shape, t, dtype, fastd2=band2)
+    sig_in = sigma[(slice(1, -1),) * D]
+    in_band = sig_in**2 < band2
+
+    mu0_c, mu1_c, V_c = [], [], []
+    for i in range(D):
+        coords = loc_grid(i, shape, dtype)[(slice(None),) + (slice(1, -1),) * D]
+        flat = coords.reshape(D, -1).T
+        d, n, v = jax.vmap(lambda x: body.measure_at(x, t, band2))(flat)
+        d = d.reshape(inner)
+        n = n.T.reshape((D,) + inner)
+        v = v.T.reshape((D,) + inner)
+        # sign consistency with the cell-center sdf (`Body.jl:37`)
+        d = jnp.where(jnp.abs(d) <= 0.5, d, jnp.copysign(d, sig_in))
+        m0 = jnp.where(in_band, mu0_kernel(d, eps_k),
+                       jnp.where(sig_in < 0, 0.0, 1.0))
+        m1 = jnp.where(in_band, mu1_kernel(d, eps_k) * n, 0.0)
+        vv = jnp.where(in_band, v, 0.0)
+        mu0_c.append(grow(m0, fill=1.0))
+        mu1_c.append(jnp.stack([grow(m1[j]) for j in range(D)]))
+        V_c.append(grow(vv[i]))  # V[I,i] = V_i at face i (`Body.jl:39`)
+
+    mu0 = jnp.stack(mu0_c).astype(dtype)
+    mu1 = jnp.stack(mu1_c).astype(dtype)
+    V = jnp.stack(V_c).astype(dtype)
+    zeros = (0.0,) * D
+    mu0 = bc_vector(mu0, zeros, save_exit=False, perdir=perdir)
+    V = bc_vector(V, zeros, save_exit=exit_bc, perdir=perdir)
+    return V, mu0, mu1, sigma

@@ -1,0 +1,380 @@
+"""Flow state and the BDIM predictor-corrector momentum step.
+
+TPU-native port of `/root/reference/src/Flow.jl`.  The reference's per-cell
+`@loop` kernels (conv_diff!, BDIM!, projection, CFL) become whole-array shift
+expressions over a `FlowState` pytree; one `mom_step` traces to a single XLA
+program containing both momentum phases and both multigrid pressure solves, so
+a time step leaves the device exactly once (the CFL scalar — same single
+device→host sync as the reference, `Flow.jl:166`).
+
+Layout: velocity ``u[i, x, y(, z)]`` component-first (spatial dims minor →
+TPU lanes), pressure ``p[x, y(, z)]``, BDIM moments ``mu0`` like ``u`` and
+``mu1[i, j, spatial]``.  The time-step history lives on the host (`Flow.dt`),
+mirroring `Flow.jl:127`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import multigrid as mg
+from ..ops.bc import apply_vector, bc_vector, exit_bc, per_bc
+from ..ops.grid import grow, interior, loc_grid, set_interior, shift
+
+__all__ = [
+    "quick", "cds", "vanleer", "median3",
+    "FlowState", "FlowCfg", "Flow",
+    "conv_diff", "bdim_update", "accelerate", "project", "cfl", "mom_step",
+    "div_field", "scale_interior",
+]
+
+
+# ---------------------------------------------------------------- schemes
+def median3(a, b, c):
+    """Elementwise median of three (`median`, `Flow.jl:28-37`)."""
+    return jnp.maximum(jnp.minimum(a, b), jnp.minimum(jnp.maximum(a, b), c))
+
+
+def quick(u, c, d):
+    """Median-limited QUICK (`Flow.jl:4`): u=upstream, c=center, d=downstream."""
+    return median3((5 * c + 2 * d - u) / 6, c, median3(10 * c - 9 * u, c, d))
+
+
+def cds(u, c, d):
+    """Central difference (`Flow.jl:6`)."""
+    return (c + d) / 2
+
+
+def vanleer(u, c, d):
+    """van Leer limiter (`Flow.jl:5`) with a divide-safe guard so AD tangents
+    never see the 0/0 branch."""
+    denom = d - u
+    safe = jnp.where(denom == 0, 1.0, denom)
+    lim = c + (d - c) * (c - u) / safe
+    revert = (c <= jnp.minimum(u, d)) | (c >= jnp.maximum(u, d))
+    return jnp.where(revert, c, lim)
+
+
+# ---------------------------------------------------------------- state
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlowState:
+    """Device-resident fields of a flow (`Flow{D,T}`, `Flow.jl:114-131`).
+
+    ``u0`` is the previous velocity; ``V``/``mu0``/``mu1`` the BDIM body
+    velocity and kernel moments.  ``nu`` is carried as a traced scalar so whole
+    simulations stay differentiable w.r.t. viscosity."""
+    u: jax.Array
+    u0: jax.Array
+    p: jax.Array
+    V: jax.Array
+    mu0: jax.Array
+    mu1: jax.Array
+    nu: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowCfg:
+    """Static (hashable) configuration — the jit cache key."""
+    shape: tuple[int, ...]          # padded grid Ng = N + 2
+    ubc: Any                        # tuple of floats or callable (i, x, t)
+    g: Optional[Callable] = None    # body acceleration g(i, x, t)
+    perdir: tuple[int, ...] = ()
+    exit_bc: bool = False
+    scheme: Callable = quick
+    dtype: Any = jnp.float32
+    tol: float = 2e-3               # pressure solver tolerance
+    itmx: int = 32                  # pressure solver max iterations
+
+    @property
+    def D(self) -> int:
+        return len(self.shape)
+
+
+def _zg_s(a: jax.Array) -> jax.Array:
+    """Zero the ghost layer of a scalar field."""
+    return grow(interior(a))
+
+
+def _zg_v(a: jax.Array) -> jax.Array:
+    """Zero the ghost layer of a vector field (trailing spatial dims)."""
+    d = a.ndim - 1
+    return grow(interior(a, d), d)
+
+
+def scale_interior(u: jax.Array, s) -> jax.Array:
+    """u *= s on interior faces only (`scale_u!`, `Flow.jl:211-214`)."""
+    d = u.ndim - 1
+    return set_interior(u, interior(u, d) * s, d)
+
+
+def div_field(u: jax.Array) -> jax.Array:
+    """Cell-centered divergence (`div`, `Flow.jl:17-23`); ghost entries zero."""
+    D = u.shape[0]
+    s = jnp.zeros(u.shape[1:], u.dtype)
+    for i in range(D):
+        s = s + (shift(u[i], i, 1) - u[i])
+    return _zg_s(s)
+
+
+# ---------------------------------------------------------------- conv-diff
+def _slab_ix(axis: int, idx: int):
+    return (slice(None),) * axis + (slice(idx, idx + 1),)
+
+
+def conv_diff(u: jax.Array, scheme: Callable, nu, perdir: tuple[int, ...] = ()):
+    """Convective + diffusive momentum RHS (`conv_diff!`, `Flow.jl:38-62`).
+
+    For every (component i, direction j) pair the flux
+
+        Φ = uadv · λ(upwind stencil of u_i) − ν ∂u_i/∂x_j
+
+    is evaluated on the whole grid with roll shifts, the first/last interior
+    slabs are overwritten with the reference's one-sided `ϕuL`/`ϕuR` (Neumann)
+    or wrapped `ϕuP` (periodic) variants, and the flux difference
+    ``r_i = Σ_j Φ − Φ(+e_j)`` accumulates the RHS.  Ghost values of ``r`` are
+    garbage from the wrap but are never read (BDIM only updates the interior).
+    """
+    D = u.shape[0]
+    out = []
+    for i in range(D):
+        f = u[i]
+        ri = jnp.zeros_like(f)
+        for j in range(D):
+            n = f.shape[j]
+            uadv = 0.5 * (u[j] + shift(u[j], i, -1))
+            up = scheme(shift(f, j, -2), shift(f, j, -1), f)
+            dn = scheme(shift(f, j, 1), f, shift(f, j, -1))
+            phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - shift(f, j, -1))
+
+            lo, hi = _slab_ix(j, 1), _slab_ix(j, n - 1)
+            if j in perdir:
+                # ϕuP: the second-upwind value wraps to index n-3 (`Flow.jl:60-62`)
+                fP = f[_slab_ix(j, n - 3)]
+                f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
+                ua = uadv[lo]
+                phi_lo = (ua * jnp.where(ua > 0, scheme(fP, f0, f1), scheme(f2, f1, f0))
+                          - nu * (f1 - f0))
+                phi = phi.at[lo].set(phi_lo)
+                phi = phi.at[hi].set(phi_lo)  # upper slab reuses the wrapped flux
+            else:
+                # ϕuL: inflow side falls back to central (`Flow.jl:56`)
+                f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
+                ua = uadv[lo]
+                phi_lo = (ua * jnp.where(ua > 0, 0.5 * (f1 + f0), scheme(f2, f1, f0))
+                          - nu * (f1 - f0))
+                phi = phi.at[lo].set(phi_lo)
+                # ϕuR: outflow side falls back to central (`Flow.jl:57`)
+                fm1, fm2, fm3 = f[hi], f[_slab_ix(j, n - 2)], f[_slab_ix(j, n - 3)]
+                ua = uadv[hi]
+                phi_hi = (ua * jnp.where(ua < 0, 0.5 * (fm1 + fm2), scheme(fm3, fm2, fm1))
+                          - nu * (fm1 - fm2))
+                phi = phi.at[hi].set(phi_hi)
+            ri = ri + (phi - shift(phi, j, 1))
+        out.append(ri)
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------- forcing
+def accelerate(f: jax.Array, t, g: Optional[Callable], ubc,
+               dtype) -> jax.Array:
+    """Applied + reference-frame acceleration ``f += g(i,x,t) + dU/dt``
+    (`accelerate!`, `Flow.jl:69-73`).  ``dU/dt`` is the exact `jax.jvp` time
+    derivative of a callable boundary spec — the JAX-native version of the
+    reference's ForwardDiff `derivative` seeding (`src/core.jl:268`)."""
+    has_ubc_t = callable(ubc)
+    if g is None and not has_ubc_t:
+        return f
+    D = f.shape[0]
+    shape = f.shape[1:]
+    t = jnp.asarray(t, dtype)
+    for i in range(D):
+        coords = loc_grid(i, shape, dtype).reshape(D, -1).T
+        add = 0.0
+        if g is not None:
+            add = add + jax.vmap(lambda x: g(i, x, t))(coords)
+        if has_ubc_t:
+            dudt = jax.vmap(lambda x: jax.jvp(lambda tt: ubc(i, x, tt),
+                                              (t,), (jnp.ones_like(t),))[1])(coords)
+            add = add + dudt
+        f = f.at[i].add(add.reshape(shape).astype(f.dtype))
+    return f
+
+
+# ---------------------------------------------------------------- BDIM
+def bdim_update(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
+                mu0: jax.Array, mu1: jax.Array, dt) -> jax.Array:
+    """BDIM convolution (`BDIM!`, `Flow.jl:176-180`):
+
+        f* = u0 + dt·f − V
+        u += μ1·∇f* + V + μ0·f*   (interior faces only)
+    """
+    D = u.shape[0]
+    fp = u0 + dt * f - V
+    terms = []
+    for i in range(D):
+        mu_ddn = jnp.zeros_like(fp[i])
+        for j in range(D):
+            mu_ddn = mu_ddn + mu1[i, j] * (shift(fp[i], j, 1) - shift(fp[i], j, -1))
+        terms.append(0.5 * mu_ddn + V[i] + mu0[i] * fp[i])
+    return u + _zg_v(jnp.stack(terms))
+
+
+# ---------------------------------------------------------------- projection
+def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
+            cfg: "FlowCfg", t, solve_fn=None):
+    """Pressure projection (`mom_project!`, `Flow.jl:223-232`): solve
+    ``A x = div(u)`` with the dt-scaled previous pressure as warm start, then
+    ``u_i -= L_i ∂_i x`` and unscale ``p = x/dt``.  ``solve_fn`` is the
+    pressure-solver injection point (`pois_ctor`, `src/WaterLily.jl:96-97`)."""
+    z = div_field(u)
+    x = p * dt_w
+    solver = solve_fn if solve_fn is not None else (
+        lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg(
+            lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir))
+    res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)
+    x = res.x
+    L = levels[0].L
+    for i in range(cfg.D):
+        gradp = x - shift(x, i, -1)
+        u = u.at[i].add(-_zg_s(L[i] * gradp))
+    p = x / dt_w
+    u = bc_vector(u, cfg.ubc, t, cfg.exit_bc, cfg.perdir)
+    return u, p, res.iters, res.stats
+
+
+# ---------------------------------------------------------------- CFL
+def cfl(u: jax.Array, nu, dt_max: float = 10.0):
+    """New time step from the max outflow flux (`CFL`, `Flow.jl:234-244`)."""
+    D = u.shape[0]
+    s = jnp.zeros(u.shape[1:], u.dtype)
+    for i in range(D):
+        s = s + jnp.maximum(0.0, shift(u[i], i, 1)) + jnp.maximum(0.0, -u[i])
+    m = jnp.max(interior(s))
+    return jnp.minimum(jnp.asarray(dt_max, u.dtype), 1.0 / (m + 5 * nu))
+
+
+# ---------------------------------------------------------------- mom_step
+def _phase(state: FlowState, u_adv: jax.Array, u_into: jax.Array, f_t,
+           dt, cfg: FlowCfg, udf):
+    """One momentum phase (shared predictor/corrector body,
+    `mom_predict!`/`mom_correct!`, `Flow.jl:190-210`)."""
+    f = conv_diff(u_adv, cfg.scheme, state.nu, cfg.perdir)
+    if udf is not None:
+        # the udf sees the in-progress u (zeroed interior in the predictor)
+        # and the advecting field, matching `udf!` (`Flow.jl:255-257`)
+        f = udf(f, dataclasses.replace(state, u=u_into), u_adv, f_t)
+    f = accelerate(f, f_t, cfg.g, cfg.ubc, cfg.dtype)
+    u = bdim_update(u_into, state.u0, f, state.V, state.mu0, state.mu1, dt)
+    return u
+
+
+@partial(jax.jit, static_argnames=("cfg", "masks", "udf", "solve_fn"))
+def mom_step(cfg: FlowCfg, state: FlowState, levels, masks, dt, t0,
+             udf=None, solve_fn=None):
+    """One full time step (`mom_step!`, `Flow.jl:156-167`): predictor advected
+    by u0, projection (w=1), trapezoidal corrector advected by the projected u,
+    projection (w=0.5), then the CFL limit for the next step.
+
+    Returns ``(state', dt_next, pois_iters(2,), solver_stats(2, itmx+1, 3))``.
+    """
+    t1 = t0 + dt
+    u0 = state.u
+    state = dataclasses.replace(state, u0=u0)
+    # predictor: u zeroed in the interior, advect with u0 (`Flow.jl:157-161`)
+    u = scale_interior(u0, 0.0)
+    u = _phase(state, u0, u, t0, dt, cfg, udf)
+    u = bc_vector(u, cfg.ubc, t1, cfg.exit_bc, cfg.perdir)
+    if cfg.exit_bc:
+        u = exit_bc(u, u0, dt)
+    u, p, n1, s1 = project(u, state.p, levels, masks, dt, cfg, t1, solve_fn)
+    # corrector: advect with the projected u, blend 0.5 (`Flow.jl:163-165`)
+    u = _phase(state, u, u, t1, dt, cfg, udf)
+    u = scale_interior(u, 0.5)
+    u = bc_vector(u, cfg.ubc, t1, cfg.exit_bc, cfg.perdir)
+    u, p, n2, s2 = project(u, p, levels, masks, 0.5 * dt, cfg, t1, solve_fn)
+    state = dataclasses.replace(state, u=u, p=p)
+    dt_next = cfl(u, state.nu)
+    return state, dt_next, jnp.stack([n1, n2]), jnp.stack([s1, s2])
+
+
+# ---------------------------------------------------------------- host wrapper
+class Flow:
+    """Host-side flow container: a `FlowState` pytree + static `FlowCfg` +
+    the CPU time-step history (`Flow`, `Flow.jl:131-148`)."""
+
+    def __init__(self, N: tuple[int, ...], ubc, dt: float = 0.25, nu: float = 0.0,
+                 g: Optional[Callable] = None, u0=None, perdir: tuple[int, ...] = (),
+                 exit_bc: bool = False, scheme: Callable = quick,
+                 dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32):
+        D = len(N)
+        shape = tuple(n + 2 for n in N)
+        self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
+                           perdir=tuple(perdir), exit_bc=bool(exit_bc),
+                           scheme=scheme, dtype=dtype, tol=tol, itmx=itmx)
+        if u0 is None:
+            if callable(ubc):
+                u = apply_vector(lambda i, x: ubc(i, x, jnp.asarray(0.0, dtype)),
+                                 D, shape, dtype)
+            else:
+                u = jnp.broadcast_to(
+                    jnp.asarray(ubc, dtype).reshape((D,) + (1,) * D),
+                    (D,) + shape).astype(dtype)
+        elif callable(u0):
+            u = apply_vector(u0, D, shape, dtype)
+        else:
+            u = jnp.broadcast_to(jnp.asarray(u0, dtype).reshape((D,) + (1,) * D),
+                                 (D,) + shape).astype(dtype)
+        u = bc_vector(u, self.cfg.ubc, 0.0, exit_bc, self.cfg.perdir)
+        u = exit_bc_init(u)
+        mu0 = bc_vector(jnp.ones((D,) + shape, dtype), (0.0,) * D,
+                        save_exit=False, perdir=self.cfg.perdir)
+        self.state = FlowState(
+            u=u, u0=u, p=jnp.zeros(shape, dtype),
+            V=jnp.zeros((D,) + shape, dtype), mu0=mu0,
+            mu1=jnp.zeros((D, D) + shape, dtype),
+            nu=jnp.asarray(nu, dtype))
+        self.dt = [float(dt)]           # host-side Δt history (`Flow.jl:127`)
+        self.pois_n: list[int] = []     # pressure iterations per projection
+
+    # convenience accessors mirroring the reference field names
+    @property
+    def u(self):
+        return self.state.u
+
+    @property
+    def p(self):
+        return self.state.p
+
+    @property
+    def mu0(self):
+        return self.state.mu0
+
+    @property
+    def V(self):
+        return self.state.V
+
+    @property
+    def nu(self):
+        return float(self.state.nu)
+
+    @property
+    def time(self) -> float:
+        """Current flow time = sum(dt[:-1]) (`time`, `Flow.jl:174`)."""
+        return float(sum(self.dt[:-1]))
+
+
+def exit_bc_init(u: jax.Array) -> jax.Array:
+    """Constructor-time `exitBC!(u,u,0)` (`Flow.jl:141`)."""
+    return exit_bc(u, u, 0.0)
+
+
+def _norm_ubc(ubc):
+    """Normalize a boundary spec: tuples of numbers become float tuples."""
+    if callable(ubc):
+        return ubc
+    return tuple(float(v) for v in ubc)

@@ -1,0 +1,176 @@
+"""User-facing simulation orchestration.
+
+TPU-native port of `/root/reference/src/WaterLily.jl:86-161`: the `Simulation`
+constructor wires Flow + body measurement + the multigrid pressure solver, and
+`sim_step` drives the host time loop (data-dependent CFL, like the reference's
+`sim_step!` loop at `WaterLily.jl:128-139`) around the fully-jitted device
+step.  Body re-measure for moving geometry runs as its own jitted function with
+the body pytree as a traced argument, so rigid-motion updates (`setmap`) never
+recompile.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models import flow as fl
+from .models.body import Body, NoBody, measure_fill, measure_sdf
+from .ops import multigrid as mg
+from .ops import poisson as ps
+
+__all__ = ["Simulation", "pcg_solve_fn"]
+
+
+@partial(jax.jit, static_argnames=("shape", "eps_k", "dtype", "perdir", "exit_bc"))
+def _measure_jit(body, t, shape, eps_k, dtype, perdir, exit_bc):
+    return measure_fill(body, shape, t, eps_k, dtype, perdir, exit_bc)
+
+
+@partial(jax.jit, static_argnames=("masks", "perdir"))
+def _update_mg_jit(masks, mu0, perdir):
+    return mg.update_mg(None, masks, mu0, perdir)
+
+
+def pcg_solve_fn(levels, masks, x, z, tol, itmx, perdir):
+    """Adapter running the standalone PCG `Poisson` solver in place of the
+    multigrid one (the `pois_ctor` dependency-injection hook of the reference,
+    `src/WaterLily.jl:96-97`; select with ``psolver='pcg'``)."""
+    x, r, n, stats = ps.solve(levels[0], x, z, tol=tol, itmx=itmx, perdir=perdir)
+    pad = jnp.zeros(stats.shape[:1] + (1,), stats.dtype)
+    return mg.MGSolveResult(x, r, n, jnp.concatenate([stats, pad], axis=1))
+
+
+class Simulation:
+    """`Simulation(dims, ubc, L; ...)` (`src/WaterLily.jl:36-75`).
+
+    Parameters mirror the reference: ``dims`` interior grid size, ``ubc``
+    boundary velocity (tuple or callable ``(i, x, t)``), ``L``/``U`` the
+    length/velocity scales defining ``sim_time = t U / L``, ``nu`` viscosity,
+    ``g(i,x,t)`` body acceleration, ``eps`` BDIM kernel width, ``perdir``
+    periodic directions (0-based), ``exit_bc`` convective outlet on axis 0,
+    ``scheme`` the convective flux limiter, ``body`` immersed geometry,
+    ``dtype`` array precision.  ``flow_ctor``/``psolver`` are the
+    dependency-injection hooks (`WaterLily.jl:69-74`).
+    """
+
+    def __init__(self, dims, ubc, L, *, U=None, dt=0.25, nu=0.0,
+                 g: Optional[Callable] = None, eps: float = 1.0,
+                 perdir: tuple[int, ...] = (), u0=None, exit_bc: bool = False,
+                 scheme: Callable = fl.quick, body: Optional[Body] = None,
+                 dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
+                 flow_ctor: Optional[Callable] = None, psolver: str = "mg"):
+        if U is None:
+            if callable(ubc):
+                raise ValueError("U (velocity scale) must be given when ubc is a function")
+            U = math.sqrt(sum(float(v) ** 2 for v in ubc))
+        self.U, self.L, self.eps = U, L, eps
+        ctor = flow_ctor or fl.Flow
+        self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
+                         perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
+                         dtype=dtype, tol=tol, itmx=itmx)
+        self.body = body if body is not None else NoBody()
+        cfg = self.flow.cfg
+        if not isinstance(self.body, NoBody):
+            V, mu0, mu1, _ = _measure_jit(self.body, jnp.asarray(0.0, dtype),
+                                          cfg.shape, float(eps), cfg.dtype,
+                                          cfg.perdir, cfg.exit_bc)
+            self.flow.state = dataclasses.replace(self.flow.state,
+                                                  V=V, mu0=mu0, mu1=mu1)
+        self.psolver = psolver
+        if psolver == "mg":
+            self.levels, self.masks = mg.make_mg(self.flow.state.mu0, cfg.perdir)
+            self.solve_fn = None
+        elif psolver == "pcg":
+            self.levels = (ps.make_level(self.flow.state.mu0),)
+            self.masks = ()
+            self.solve_fn = pcg_solve_fn
+        else:
+            raise ValueError(f"unknown psolver {psolver!r}")
+        self.solver_stats = None   # last step's (2, itmx+1, 3) residual log
+
+    # ------------------------------------------------------------- time
+    @property
+    def time(self) -> float:
+        return self.flow.time
+
+    @property
+    def sim_time(self) -> float:
+        """Dimensionless time tU/L (`sim_time`, `WaterLily.jl:111-117`)."""
+        return self.time * self.U / self.L
+
+    @property
+    def pois_n(self):
+        """Pressure iterations per projection (reference `sim.pois.n`)."""
+        return self.flow.pois_n
+
+    # ------------------------------------------------------------- stepping
+    def measure(self, t: Optional[float] = None):
+        """Re-measure a dynamic body and refresh the multigrid coefficients
+        (`measure!(sim)`, `WaterLily.jl:146-149`)."""
+        if isinstance(self.body, NoBody):
+            return
+        cfg = self.flow.cfg
+        if t is None:
+            t = self.time + self.flow.dt[-1]
+        V, mu0, mu1, _ = _measure_jit(self.body, jnp.asarray(t, cfg.dtype),
+                                      cfg.shape, float(self.eps), cfg.dtype,
+                                      cfg.perdir, cfg.exit_bc)
+        self.flow.state = dataclasses.replace(self.flow.state, V=V, mu0=mu0, mu1=mu1)
+        if self.psolver == "mg":
+            self.levels = _update_mg_jit(self.masks, mu0, cfg.perdir)
+        else:
+            self.levels = (ps.make_level(mu0),)
+
+    def step_once(self, remeasure: bool = True, udf=None):
+        """One `mom_step` (+ optional body re-measure), host bookkeeping of
+        Δt history and solver iteration counts."""
+        if remeasure:
+            self.measure()
+        cfg = self.flow.cfg
+        dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
+        t0 = jnp.asarray(self.time, cfg.dtype)
+        state, dt_next, iters, stats = fl.mom_step(
+            cfg, self.flow.state, self.levels, self.masks, dt, t0, udf,
+            self.solve_fn)
+        self.flow.state = state
+        self.flow.dt.append(float(dt_next))
+        self.flow.pois_n += [int(iters[0]), int(iters[1])]
+        self.solver_stats = stats
+        return self
+
+    def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
+                 max_steps: int = 10**9, verbose: bool = False, udf=None):
+        """Advance to dimensionless time ``t_end`` (one step if omitted)
+        (`sim_step!`, `WaterLily.jl:128-139`)."""
+        if t_end is None:
+            return self.step_once(remeasure, udf)
+        steps = 0
+        while self.sim_time < t_end and steps < max_steps:
+            self.step_once(remeasure, udf)
+            steps += 1
+            if verbose:
+                self.sim_info()
+        return self
+
+    def sim_info(self):
+        print(f"tU/L={self.sim_time:.4f}, dt={self.flow.dt[-1]:.3f}")
+
+    # ------------------------------------------------------------- utilities
+    def perturb(self, noise: float = 0.1, seed: int = 0):
+        """Add velocity noise scaled by U (`perturb!`, `WaterLily.jl:161`)."""
+        key = jax.random.PRNGKey(seed)
+        u = self.flow.state.u
+        u = u + noise * self.U * jax.random.normal(key, u.shape, u.dtype)
+        self.flow.state = dataclasses.replace(self.flow.state, u=u)
+        return self
+
+    def sdf_field(self, t: Optional[float] = None):
+        """Signed distance of the current body on the cell centers."""
+        cfg = self.flow.cfg
+        return measure_sdf(self.body, cfg.shape, t if t is not None else self.time,
+                           cfg.dtype)
