@@ -1,0 +1,143 @@
+"""Simulation API tests — ports of `/root/reference/test/test_simulation.jl`
+and the accelerating-circle validation of `test_flow.jl:161-173`.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waterlily_tpu import Simulation, AutoBody
+from waterlily_tpu.utils.metrics import pressure_force
+
+F32 = jnp.float32
+
+
+RADIUS = 8
+
+
+def circle(x, t):
+    return jnp.sqrt(jnp.sum((x - 2 * RADIUS) ** 2)) - RADIUS
+
+
+def move(x, t):
+    return x - jnp.stack([t, jnp.zeros_like(t)])
+
+
+def accel(x, t):
+    return x - jnp.stack([2 * t**2, jnp.zeros_like(t)])
+
+
+def plate(x, t):
+    c = jnp.clip(x[0], -RADIUS + 2, RADIUS - 2)
+    return jnp.sqrt(jnp.sum((x - jnp.stack([c, jnp.zeros_like(c)])) ** 2)) - 2
+
+
+def rotate(x, t):
+    s, c = jnp.sin(t / RADIUS + 1), jnp.cos(t / RADIUS + 1)
+    y = x - 2 * RADIUS
+    return jnp.stack([c * y[0] + s * y[1], -s * y[0] + c * y[1]])
+
+
+def bend(xy, t):
+    x, y = xy[0] - 2 * RADIUS, xy[1] - 2 * RADIUS
+    k = 2 * t / RADIUS**2 + 0.2 / RADIUS
+    return jnp.stack([x + x**3 * k**2 / 6, y - x**2 * k / 2])
+
+
+NM = (4 * RADIUS, 4 * RADIUS)
+NU = RADIUS / 250
+
+
+def test_sim_time_and_stepping():
+    sim = Simulation(NM, (1.0, 0.0), RADIUS, body=AutoBody(circle), nu=NU, dtype=F32)
+    assert sim.sim_time == 0.0
+    sim.sim_step(0.1, remeasure=False)
+    assert sim.sim_time >= 0.1
+    assert sim.sim_time > sum(sim.flow.dt[:-2]) * sim.U / sim.L
+
+
+@pytest.mark.parametrize("exit_bc", [True, False])
+def test_moving_body_exact_translation(exit_bc):
+    # body moving with V = U = 1 leaves u == 1 (`test_simulation.jl:20-25`)
+    sim = Simulation(NM, (1.0, 0.0), RADIUS, body=AutoBody(circle, move),
+                     nu=NU, dtype=F32, exit_bc=exit_bc)
+    sim.sim_step()
+    u = np.array(sim.flow.u)
+    assert np.allclose(u[0, :, RADIUS], 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("exit_bc", [True, False])
+def test_accelerating_body(exit_bc):
+    sim = Simulation(NM, (0.0, 0.0), RADIUS, U=1, body=AutoBody(circle, accel),
+                     nu=NU, dtype=F32, exit_bc=exit_bc)
+    sim.sim_step()
+    assert len(sim.pois_n) == 2 and all(n < 5 for n in sim.pois_n)
+    assert float(jnp.max(sim.flow.u)) > float(jnp.max(sim.flow.V)) > 0
+
+
+@pytest.mark.parametrize("mapfn,dt_lo,dt_hi", [(rotate, 0.5, 1.0), (bend, 0.8, 1.2)])
+def test_deforming_body(mapfn, dt_lo, dt_hi):
+    sim = Simulation(NM, (0.0, 0.0), RADIUS, U=1, body=AutoBody(plate, mapfn),
+                     nu=NU, dtype=F32)
+    sim.sim_step()
+    assert len(sim.pois_n) == 2 and all(n < 5 for n in sim.pois_n)
+    assert dt_lo < sim.flow.dt[-1] < dt_hi
+
+
+def test_pcg_solver_injection():
+    # the pois_ctor dependency-injection analog (`test_simulation.jl:42-54`)
+    sim = Simulation(NM, (1.0, 0.0), RADIUS, body=AutoBody(circle), nu=NU,
+                     dtype=F32, psolver="pcg")
+    sim.sim_step(0.2, remeasure=False)
+    assert np.all(np.isfinite(np.array(sim.flow.u)))
+
+
+def test_u0_initial_condition():
+    ic = lambda i, x: jnp.where(i == 0, 2.0, 0.0)
+    sim = Simulation((16, 16), (1.0, 0.0), 16, u0=ic, dtype=F32)
+    assert np.allclose(np.array(sim.flow.u)[0, 2:14, 2:14], 2.0)
+
+
+def test_accelerating_circle_added_mass():
+    # impulsively accelerated circle: F/(πL²) = [-1, 0] ± 0.04, slip peak ≈ 2U
+    # (`test_flow.jl:161-173`)
+    radius, H = 32, 16
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - H * radius) ** 2)) - radius)
+    ubc = lambda i, x, t: jnp.where(i == 0, t, jnp.zeros_like(t))
+    sim = Simulation((2 * H * radius, 2 * H * radius), ubc, radius, U=1,
+                     body=body, dtype=F32)
+    sim.sim_step()
+    force = np.array(pressure_force(sim.flow.state.p, sim.body, sim.time))
+    force = force / (np.pi * sim.L**2)
+    assert np.allclose(force, [-1, 0], atol=0.04)
+    u = np.array(sim.flow.u)
+    assert u.max() / u[0, 1, 1] > 1.91   # ≈ 2U potential-flow slip
+    for _ in range(3):
+        sim.sim_step()
+    assert all(n <= 2 for n in sim.pois_n[2:])
+    assert not any(np.isnan(sim.pois_n))
+
+
+def test_semicoarsening_channel():
+    # 2D 8:1 channel with 50% blocking circle: MG stays ≤ 10 iterations
+    # (`test_poisson.jl:72-82`)
+    H = 2**4
+    R = H // 4
+    ctr = jnp.asarray([4 * H, H // 2], F32)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R)
+    sim = Simulation((8 * H, H), (1.0, 0.0), R, nu=R / 100, body=body, dtype=F32)
+    for _ in range(4):
+        sim.sim_step(remeasure=False)
+    assert all(n <= 10 for n in sim.pois_n)
+
+
+def test_semicoarsening_duct():
+    # 3D 8:1:1 duct with 50% blocking sphere: MG ≤ 12 (`test_poisson.jl:77-82`)
+    H = 2**3
+    R = H // 4
+    ctr = jnp.asarray([4 * H, H / 2, H / 2], F32)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R)
+    sim = Simulation((8 * H, H, H), (1.0, 0.0, 0.0), R, nu=R / 100, body=body,
+                     dtype=F32)
+    for _ in range(4):
+        sim.sim_step(remeasure=False)
+    assert all(n <= 12 for n in sim.pois_n)

@@ -1,0 +1,6 @@
+from . import interp, les, metrics  # noqa: F401
+from .interp import interp_scalar, interp_vector, spread, squeeze
+from .les import sgs, smagorinsky
+from .metrics import (MeanFlow, ke_field, lambda2_field, omega_field,
+                      omega_mag_field, pressure_force, pressure_moment,
+                      total_force, total_moment, viscous_force, viscous_moment)

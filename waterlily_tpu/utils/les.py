@@ -1,0 +1,52 @@
+"""Sub-grid-scale LES forcing through the udf hook.
+
+TPU-native port of `sgs!` (`/root/reference/src/util.jl:45-76`): the Boussinesq
+SGS stress -2·νt·S̄ is added to the momentum RHS as a flux-difference body
+force, evaluated on the phase's advecting velocity (u0 in the predictor, the
+projected u in the corrector — the advecting-velocity semantics the reference
+fixed in its udf machinery, `test/test_les.jl`).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid import interior, grow, shift
+from .metrics import strain_field
+
+__all__ = ["smagorinsky", "sgs"]
+
+
+def smagorinsky(Cs: float = 0.17, delta: float = 1.0) -> Callable:
+    """Standard Smagorinsky-Lilly eddy viscosity νt = (Cs·Δ)²·√(S:S)
+    (`util.jl:57-63`; matches the reference implementation's norm)."""
+
+    def nu_t(S):
+        return (Cs * delta) ** 2 * jnp.sqrt(jnp.sum(S**2, axis=(0, 1)))
+
+    return nu_t
+
+
+def sgs(nu_t_fn: Callable = None):
+    """Build a udf adding the SGS stress divergence to the RHS
+    (`sgs!`, `util.jl:66-76`).  Use as ``sim.sim_step(..., udf=sgs(...))``."""
+    nu_t_fn = nu_t_fn or smagorinsky()
+
+    def udf(f, state, u_adv, t):
+        D = f.shape[0]
+        S = strain_field(u_adv)
+        nu_t = nu_t_fn(S)
+        for i in range(D):
+            for j in range(D):
+                flux = -nu_t * (u_adv[i] - shift(u_adv[i], j, -1))
+                # restrict the flux to the reference's inside_u(N, j) range:
+                # zero at the first interior and ghost slabs of dim j
+                n = flux.shape[j]
+                idx = jax.lax.broadcasted_iota(jnp.int32, flux.shape, j)
+                flux = jnp.where((idx >= 2) & (idx <= n - 2), flux, 0.0)
+                f = f.at[i].add(flux - shift(flux, j, 1))
+        return f
+
+    return udf
