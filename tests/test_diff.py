@@ -1,0 +1,153 @@
+"""End-to-end differentiability — ports of `/root/reference/test/test_forwarddiff.jl`.
+
+The reference differentiates entire simulations with ForwardDiff (a custom
+GPU-safe dual layer, `src/core.jl:245-282`); here the same three derivative
+checks run through `jax.jacfwd` over the pure fixed-step runner (forward-mode
+JVPs propagate through the `lax.while_loop` pressure solver).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waterlily_tpu import AutoBody
+from waterlily_tpu.models import flow as fl
+from waterlily_tpu.models.body import measure_fill
+from waterlily_tpu.ops import multigrid as mg
+from waterlily_tpu.ops.grid import interior
+from waterlily_tpu.utils.metrics import (ke_field, pressure_force,
+                                         strain_field, viscous_force)
+
+F64 = jnp.float64
+
+
+def run_fixed_steps(cfg, state, levels, masks, dt0, nsteps):
+    """Pure fixed-step time loop (the differentiable analog of `sim_step!`;
+    the data-dependent CFL dt is carried as a traced value)."""
+    dt = jnp.asarray(dt0, F64)
+    t = jnp.asarray(0.0, F64)
+    for _ in range(nsteps):
+        state, dt_next, _, _ = fl.mom_step(cfg, state, levels, masks, dt, t)
+        t = t + dt
+        dt = dt_next
+    return state, t
+
+
+def test_gradcheck_kernels():
+    # sanity: nested forward-mode through an sdf/map measure, the pattern that
+    # crashed the reference's stock ForwardDiff on GPU (`test_forwarddiff.jl:7-33`)
+    sdfn = lambda xi: jnp.sqrt(jnp.sum(xi**2)) - 1.0
+    rotmap = lambda x, th: jnp.asarray([[jnp.cos(th), -jnp.sin(th)],
+                                        [jnp.sin(th), jnp.cos(th)]]) @ x
+    x0 = jnp.asarray([0.5, 0.7], F64)
+    th0 = jnp.asarray(0.3, F64)
+    g = jax.grad(sdfn)(x0)
+    assert np.allclose(np.array(g), np.array(x0) / np.linalg.norm(np.array(x0)))
+    J = jax.jacfwd(lambda y: rotmap(y, th0))(x0)
+    R = np.array([[np.cos(0.3), -np.sin(0.3)], [np.sin(0.3), np.cos(0.3)]])
+    assert np.allclose(np.array(J), R)
+    # nested: d/dθ of sum(jacobian)
+    f = lambda th: jnp.sum(jax.jacfwd(lambda y: rotmap(y, th))(x0))
+    d = jax.jacfwd(f)(th0)
+    h = 1e-6
+    fd = (float(f(th0 + h)) - float(f(th0 - h))) / (2 * h)
+    assert float(d) == pytest.approx(fd, rel=1e-6)
+
+
+def _tgv_ke(re):
+    L = 64
+    kappa = 2 * jnp.pi / L
+    nu = 1 / (kappa * re)
+
+    def tgv(i, xy, t):
+        x, y = xy[0] * kappa, xy[1] * kappa
+        dec = jnp.exp(-2 * kappa**2 * nu * t)
+        return jnp.where(i == 0, -jnp.sin(x) * jnp.cos(y) * dec,
+                         jnp.cos(x) * jnp.sin(y) * dec)
+
+    flow = fl.Flow((L, L), tgv, nu=0.0, perdir=(0, 1), dtype=F64)
+    state = __import__("dataclasses").replace(flow.state, nu=jnp.asarray(nu, F64))
+    levels, masks = mg.make_mg(state.mu0, flow.cfg.perdir)
+    state, _ = run_fixed_steps(flow.cfg, state, levels, masks, 0.25, 3)
+    return jnp.sum(interior(ke_field(state.u)))
+
+
+def test_dKE_dRe():
+    # ∂KE/∂Re for TGV vs central FD (`test_forwarddiff.jl:38-44,66-71`)
+    d_ad = float(jax.jacfwd(_tgv_ke)(jnp.asarray(100.0, F64)))
+    h = 1.0
+    d_fd = (float(_tgv_ke(jnp.asarray(101.0, F64)))
+            - float(_tgv_ke(jnp.asarray(99.0, F64)))) / (2 * h)
+    assert d_ad == pytest.approx(d_fd, rel=1e-1)
+
+
+def _spin_lift(xi, nsteps=12):
+    # spinning cylinder: lift/(ξ²U²L) after nsteps (`test_forwarddiff.jl:46-56`)
+    D = 16
+    Re = 500.0
+    C, R, U = D, D // 2, 1.0
+
+    def rot(th):
+        c, s = jnp.cos(th), jnp.sin(th)
+        return jnp.asarray([[c, -s], [s, c]])
+
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum(x**2)) - R,
+                    lambda x, t: rot(xi * U * t / R) @ (x - C))
+    flow = fl.Flow((2 * D, 2 * D), (U, 0.0), nu=U * D / Re, dtype=F64)
+    V, mu0, mu1, _ = measure_fill(body, flow.cfg.shape, 0.0, 1.0, F64)
+    import dataclasses
+    state = dataclasses.replace(flow.state, V=V, mu0=mu0, mu1=mu1)
+    levels, masks = mg.make_mg(mu0)
+    state, t = run_fixed_steps(flow.cfg, state, levels, masks, 0.25, nsteps)
+    fp = pressure_force(state.p, body, t)
+    fv = viscous_force(state.u, state.nu, body, t)
+    return (fp[1] + fv[1]) / (xi**2 * U**2 * D)
+
+
+def test_dlift_dspin():
+    d_ad = float(jax.jacfwd(_spin_lift)(jnp.asarray(2.0, F64)))
+    h = 1e-4
+    d_fd = (float(_spin_lift(jnp.asarray(2.0 + h, F64)))
+            - float(_spin_lift(jnp.asarray(2.0 - h, F64)))) / (2 * h)
+    assert d_ad == pytest.approx(d_fd, rel=1e-2)
+
+
+def _rot_psum(theta, nsteps=2):
+    # NOTE: sum(p) projects onto the pressure null space and becomes chaotic
+    # in θ after ~4 steps (FD invalid there; AD == FD to 6 digits at 1-2
+    # steps, verified at tol 2e-3 and 1e-8) — so the check runs at the
+    # verified-smooth horizon.
+    # θ-rotated plate, remeasure each step (`test_forwarddiff.jl:58-78`)
+    L = 32
+    U, Re = 1.0, 100.0
+    s, c = jnp.sin(theta), jnp.cos(theta)
+
+    def plate_sdf(xi, t):
+        cl = jnp.clip(xi[0], -L / 2, L / 2)
+        return jnp.sqrt(jnp.sum((xi - jnp.stack([jnp.zeros_like(cl), cl])) ** 2)) - 2
+
+    body = AutoBody(lambda xi, t: plate_sdf(
+        jnp.asarray([[c, -s], [s, c]]) @ (xi - L), t))
+    flow = fl.Flow((2 * L, 2 * L), (U, 0.0), nu=U * L / Re, dtype=F64)
+    levels, masks = mg.make_mg(flow.state.mu0)
+    state = flow.state
+    dt = jnp.asarray(0.25, F64)
+    t = jnp.asarray(0.0, F64)
+    for _ in range(nsteps):
+        V, mu0, mu1, _ = measure_fill(body, flow.cfg.shape, t + dt, 1.0, F64)
+        import dataclasses
+        state = dataclasses.replace(state, V=V, mu0=mu0, mu1=mu1)
+        levels = mg.update_mg(levels, masks, mu0)
+        state, dt_next, _, _ = fl.mom_step(flow.cfg, state, levels, masks, dt, t)
+        t = t + dt
+        dt = dt_next
+    return jnp.sum(state.p)
+
+
+def test_dpsum_dtheta():
+    th = np.pi / 36
+    d_ad = float(jax.jacfwd(_rot_psum)(jnp.asarray(th, F64)))
+    h = th / 100
+    d_fd = (float(_rot_psum(jnp.asarray(th + h, F64)))
+            - float(_rot_psum(jnp.asarray(th - h, F64)))) / (2 * h)
+    assert d_ad == pytest.approx(d_fd, rel=1e-3)
