@@ -147,7 +147,7 @@ def _rot_psum(theta, nsteps=2):
 def test_dpsum_dtheta():
     th = np.pi / 36
     d_ad = float(jax.jacfwd(_rot_psum)(jnp.asarray(th, F64)))
-    h = th / 100
+    h = th / 1000
     d_fd = (float(_rot_psum(jnp.asarray(th + h, F64)))
             - float(_rot_psum(jnp.asarray(th - h, F64)))) / (2 * h)
     assert d_ad == pytest.approx(d_fd, rel=1e-3)
