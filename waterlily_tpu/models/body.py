@@ -146,12 +146,12 @@ def mu1_kernel(d, eps_k):
 
 # --------------------------------------------------- field measure
 def measure_sdf(body: Body, shape: tuple[int, ...], t=0.0,
-                dtype=jnp.float32, fastd2: float = 0.0) -> jax.Array:
+                dtype=jnp.float32, fastd2: float = 0.0, offset=None) -> jax.Array:
     """Signed distance at every cell center (`measure_sdf!`, `Body.jl:74`);
     ghost values zero."""
     D = len(shape)
     inner = tuple(n - 2 for n in shape)
-    coords = loc_grid(None, shape, dtype)[(slice(None),) + (slice(1, -1),) * D]
+    coords = loc_grid(None, shape, dtype, offset)[(slice(None),) + (slice(1, -1),) * D]
     flat = coords.reshape(D, -1).T
     t = jnp.asarray(t, dtype)
     vals = jax.vmap(lambda x: body.measure_at(x, t, fastd2)[0])(flat)
@@ -160,7 +160,7 @@ def measure_sdf(body: Body, shape: tuple[int, ...], t=0.0,
 
 def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
                  dtype=jnp.float32, perdir: tuple[int, ...] = (),
-                 exit_bc: bool = False):
+                 exit_bc: bool = False, ctx=None):
     """Fill the BDIM arrays ``(V, mu0, mu1, sdf)`` from the body geometry
     (`measure!`, `Body.jl:28-51`).
 
@@ -171,18 +171,21 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     fluid).  Returns full padded arrays with the reference's ghost treatment:
     zero-velocity vector BC on mu0 and V.
     """
+    from ..ops.dist import offsets as dist_offsets
+
     D = len(shape)
     inner = tuple(n - 2 for n in shape)
     band2 = float((2.0 + eps_k) ** 2)
     t = jnp.asarray(t, dtype)
+    off = dist_offsets(ctx, shape) if ctx is not None else None
 
-    sigma = measure_sdf(body, shape, t, dtype, fastd2=band2)
+    sigma = measure_sdf(body, shape, t, dtype, fastd2=band2, offset=off)
     sig_in = sigma[(slice(1, -1),) * D]
     in_band = sig_in**2 < band2
 
     mu0_c, mu1_c, V_c = [], [], []
     for i in range(D):
-        coords = loc_grid(i, shape, dtype)[(slice(None),) + (slice(1, -1),) * D]
+        coords = loc_grid(i, shape, dtype, off)[(slice(None),) + (slice(1, -1),) * D]
         flat = coords.reshape(D, -1).T
         d, n, v = jax.vmap(lambda x: body.measure_at(x, t, band2))(flat)
         d = d.reshape(inner)
@@ -202,6 +205,8 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     mu1 = jnp.stack(mu1_c).astype(dtype)
     V = jnp.stack(V_c).astype(dtype)
     zeros = (0.0,) * D
-    mu0 = bc_vector(mu0, zeros, save_exit=False, perdir=perdir)
-    V = bc_vector(V, zeros, save_exit=exit_bc, perdir=perdir)
+    mu0 = bc_vector(mu0, zeros, save_exit=False, perdir=perdir, ctx=ctx)
+    V = bc_vector(V, zeros, save_exit=exit_bc, perdir=perdir, ctx=ctx)
+    # (mu1 needs no halo sync: the BDIM gradient reads mu1 at interior cells
+    # only, `Flow.jl:179`)
     return V, mu0, mu1, sigma

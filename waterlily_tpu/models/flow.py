@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 from ..ops import multigrid as mg
 from ..ops.bc import apply_vector, bc_vector, exit_bc, per_bc
+from ..ops.dist import (edge_hi, edge_lo, fetch_hi, fetch_lo, offsets,
+                        pmax_all, sharded, sync_vector)
 from ..ops.grid import grow, interior, loc_grid, set_interior, shift
 
 __all__ = [
@@ -126,18 +128,28 @@ def _slab_ix(axis: int, idx: int):
     return (slice(None),) * axis + (slice(idx, idx + 1),)
 
 
-def conv_diff(u: jax.Array, scheme: Callable, nu, perdir: tuple[int, ...] = ()):
+def conv_diff(u: jax.Array, scheme: Callable, nu, perdir: tuple[int, ...] = (),
+              ctx=None):
     """Convective + diffusive momentum RHS (`conv_diff!`, `Flow.jl:38-62`).
 
     For every (component i, direction j) pair the flux
 
         Φ = uadv · λ(upwind stencil of u_i) − ν ∂u_i/∂x_j
 
-    is evaluated on the whole grid with roll shifts, the first/last interior
-    slabs are overwritten with the reference's one-sided `ϕuL`/`ϕuR` (Neumann)
-    or wrapped `ϕuP` (periodic) variants, and the flux difference
-    ``r_i = Σ_j Φ − Φ(+e_j)`` accumulates the RHS.  Ghost values of ``r`` are
-    garbage from the wrap but are never read (BDIM only updates the interior).
+    is evaluated on the whole grid with roll shifts; the first interior slab
+    is then fixed up (the generic 3-point upwind stencil would reach past the
+    single ghost layer) and the top ghost slab receives the flux of the cell
+    above — three unified cases:
+
+    * physical low/high boundary: the reference's one-sided `ϕuL`/`ϕuR`
+      (`Flow.jl:56-57`),
+    * periodic: the wrapped `ϕuP` second-upwind value and the wrapped top flux
+      (`Flow.jl:60-62`) — which is exactly what the ring halo fetch returns,
+    * subdomain boundary (distributed): the ring fetch brings the neighbor's
+      second-upwind slab and its first flux plane.
+
+    The flux difference ``r_i = Σ_j Φ − Φ(+e_j)`` accumulates the RHS; ghost
+    values of ``r`` are garbage but never read (BDIM updates the interior).
     """
     D = u.shape[0]
     out = []
@@ -146,34 +158,50 @@ def conv_diff(u: jax.Array, scheme: Callable, nu, perdir: tuple[int, ...] = ()):
         ri = jnp.zeros_like(f)
         for j in range(D):
             n = f.shape[j]
+            per = j in perdir
             uadv = 0.5 * (u[j] + shift(u[j], i, -1))
             up = scheme(shift(f, j, -2), shift(f, j, -1), f)
             dn = scheme(shift(f, j, 1), f, shift(f, j, -1))
             phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - shift(f, j, -1))
 
             lo, hi = _slab_ix(j, 1), _slab_ix(j, n - 1)
-            if j in perdir:
-                # ϕuP: the second-upwind value wraps to index n-3 (`Flow.jl:60-62`)
-                fP = f[_slab_ix(j, n - 3)]
-                f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
-                ua = uadv[lo]
-                phi_lo = (ua * jnp.where(ua > 0, scheme(fP, f0, f1), scheme(f2, f1, f0))
-                          - nu * (f1 - f0))
-                phi = phi.at[lo].set(phi_lo)
-                phi = phi.at[hi].set(phi_lo)  # upper slab reuses the wrapped flux
+            f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
+            ua = uadv[lo]
+            # second-upwind value for the first interior slab: ring fetch
+            # (self-wrap when unsharded == the periodic ϕuP index n-3)
+            f_mm = fetch_lo(ctx, f, j, j, n - 3) if (ctx is not None and sharded(ctx, j)) \
+                else f[_slab_ix(j, n - 3)]
+            phi_gen = (ua * jnp.where(ua > 0, scheme(f_mm, f0, f1), scheme(f2, f1, f0))
+                       - nu * (f1 - f0))
+            if per:
+                phi_lo = phi_gen
             else:
-                # ϕuL: inflow side falls back to central (`Flow.jl:56`)
-                f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
-                ua = uadv[lo]
-                phi_lo = (ua * jnp.where(ua > 0, 0.5 * (f1 + f0), scheme(f2, f1, f0))
-                          - nu * (f1 - f0))
-                phi = phi.at[lo].set(phi_lo)
-                # ϕuR: outflow side falls back to central (`Flow.jl:57`)
+                phi_l = (ua * jnp.where(ua > 0, 0.5 * (f1 + f0), scheme(f2, f1, f0))
+                         - nu * (f1 - f0))
+                if ctx is not None and sharded(ctx, j):
+                    phi_lo = jnp.where(edge_lo(ctx, j), phi_l, phi_gen)
+                else:
+                    phi_lo = phi_l
+            phi = phi.at[lo].set(phi_lo)
+
+            # top ghost slab: neighbor's first flux plane (ring) or ϕuR at the
+            # physical high boundary
+            if ctx is not None and sharded(ctx, j):
+                phi_wrap = fetch_hi(ctx, phi, j, j, 1)
+            else:
+                phi_wrap = phi[lo]
+            if per:
+                phi_hi = phi_wrap
+            else:
                 fm1, fm2, fm3 = f[hi], f[_slab_ix(j, n - 2)], f[_slab_ix(j, n - 3)]
-                ua = uadv[hi]
-                phi_hi = (ua * jnp.where(ua < 0, 0.5 * (fm1 + fm2), scheme(fm3, fm2, fm1))
-                          - nu * (fm1 - fm2))
-                phi = phi.at[hi].set(phi_hi)
+                ua_h = uadv[hi]
+                phi_r = (ua_h * jnp.where(ua_h < 0, 0.5 * (fm1 + fm2), scheme(fm3, fm2, fm1))
+                         - nu * (fm1 - fm2))
+                if ctx is not None and sharded(ctx, j):
+                    phi_hi = jnp.where(edge_hi(ctx, j), phi_r, phi_wrap)
+                else:
+                    phi_hi = phi_r
+            phi = phi.at[hi].set(phi_hi)
             ri = ri + (phi - shift(phi, j, 1))
         out.append(ri)
     return jnp.stack(out)
@@ -181,7 +209,7 @@ def conv_diff(u: jax.Array, scheme: Callable, nu, perdir: tuple[int, ...] = ()):
 
 # ---------------------------------------------------------------- forcing
 def accelerate(f: jax.Array, t, g: Optional[Callable], ubc,
-               dtype) -> jax.Array:
+               dtype, ctx=None) -> jax.Array:
     """Applied + reference-frame acceleration ``f += g(i,x,t) + dU/dt``
     (`accelerate!`, `Flow.jl:69-73`).  ``dU/dt`` is the exact `jax.jvp` time
     derivative of a callable boundary spec — the JAX-native version of the
@@ -191,9 +219,10 @@ def accelerate(f: jax.Array, t, g: Optional[Callable], ubc,
         return f
     D = f.shape[0]
     shape = f.shape[1:]
+    off = offsets(ctx, shape) if ctx is not None else None
     t = jnp.asarray(t, dtype)
     for i in range(D):
-        coords = loc_grid(i, shape, dtype).reshape(D, -1).T
+        coords = loc_grid(i, shape, dtype, off).reshape(D, -1).T
         add = 0.0
         if g is not None:
             add = add + jax.vmap(lambda x: g(i, x, t))(coords)
@@ -207,14 +236,18 @@ def accelerate(f: jax.Array, t, g: Optional[Callable], ubc,
 
 # ---------------------------------------------------------------- BDIM
 def bdim_update(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
-                mu0: jax.Array, mu1: jax.Array, dt) -> jax.Array:
+                mu0: jax.Array, mu1: jax.Array, dt, ctx=None) -> jax.Array:
     """BDIM convolution (`BDIM!`, `Flow.jl:176-180`):
 
         f* = u0 + dt·f − V
         u += μ1·∇f* + V + μ0·f*   (interior faces only)
+
+    The μ1·∇f* gradient reads the halos of f*, so they are ring-refreshed
+    under decomposition (bodies straddling shard boundaries).
     """
     D = u.shape[0]
     fp = u0 + dt * f - V
+    fp = sync_vector(fp, ctx)
     terms = []
     for i in range(D):
         mu_ddn = jnp.zeros_like(fp[i])
@@ -226,7 +259,7 @@ def bdim_update(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
 
 # ---------------------------------------------------------------- projection
 def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
-            cfg: "FlowCfg", t, solve_fn=None):
+            cfg: "FlowCfg", t, solve_fn=None, ctx=None, n_dist: int = 0):
     """Pressure projection (`mom_project!`, `Flow.jl:223-232`): solve
     ``A x = div(u)`` with the dt-scaled previous pressure as warm start, then
     ``u_i -= L_i ∂_i x`` and unscale ``p = x/dt``.  ``solve_fn`` is the
@@ -235,7 +268,8 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
     x = p * dt_w
     solver = solve_fn if solve_fn is not None else (
         lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg(
-            lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir))
+            lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir,
+            ctx=ctx, n_dist=n_dist))
     res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)
     x = res.x
     L = levels[0].L
@@ -243,63 +277,75 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
         gradp = x - shift(x, i, -1)
         u = u.at[i].add(-_zg_s(L[i] * gradp))
     p = x / dt_w
-    u = bc_vector(u, cfg.ubc, t, cfg.exit_bc, cfg.perdir)
+    u = bc_vector(u, cfg.ubc, t, cfg.exit_bc, cfg.perdir, ctx)
     return u, p, res.iters, res.stats
 
 
 # ---------------------------------------------------------------- CFL
-def cfl(u: jax.Array, nu, dt_max: float = 10.0):
-    """New time step from the max outflow flux (`CFL`, `Flow.jl:234-244`)."""
+def cfl(u: jax.Array, nu, dt_max: float = 10.0, ctx=None):
+    """New time step from the max outflow flux (`CFL`, `Flow.jl:234-244`);
+    a pmax under sharding."""
     D = u.shape[0]
     s = jnp.zeros(u.shape[1:], u.dtype)
     for i in range(D):
         s = s + jnp.maximum(0.0, shift(u[i], i, 1)) + jnp.maximum(0.0, -u[i])
-    m = jnp.max(interior(s))
+    m = pmax_all(jnp.max(interior(s)), ctx)
     return jnp.minimum(jnp.asarray(dt_max, u.dtype), 1.0 / (m + 5 * nu))
 
 
 # ---------------------------------------------------------------- mom_step
 def _phase(state: FlowState, u_adv: jax.Array, u_into: jax.Array, f_t,
-           dt, cfg: FlowCfg, udf):
+           dt, cfg: FlowCfg, udf, ctx=None):
     """One momentum phase (shared predictor/corrector body,
     `mom_predict!`/`mom_correct!`, `Flow.jl:190-210`)."""
-    f = conv_diff(u_adv, cfg.scheme, state.nu, cfg.perdir)
+    f = conv_diff(u_adv, cfg.scheme, state.nu, cfg.perdir, ctx)
     if udf is not None:
         # the udf sees the in-progress u (zeroed interior in the predictor)
         # and the advecting field, matching `udf!` (`Flow.jl:255-257`)
         f = udf(f, dataclasses.replace(state, u=u_into), u_adv, f_t)
-    f = accelerate(f, f_t, cfg.g, cfg.ubc, cfg.dtype)
-    u = bdim_update(u_into, state.u0, f, state.V, state.mu0, state.mu1, dt)
+    f = accelerate(f, f_t, cfg.g, cfg.ubc, cfg.dtype, ctx)
+    u = bdim_update(u_into, state.u0, f, state.V, state.mu0, state.mu1, dt, ctx)
     return u
 
 
-@partial(jax.jit, static_argnames=("cfg", "masks", "udf", "solve_fn"))
-def mom_step(cfg: FlowCfg, state: FlowState, levels, masks, dt, t0,
-             udf=None, solve_fn=None):
+def mom_step_impl(cfg: FlowCfg, state: FlowState, levels, masks, dt, t0,
+                  udf=None, solve_fn=None, ctx=None, n_dist: int = 0):
     """One full time step (`mom_step!`, `Flow.jl:156-167`): predictor advected
     by u0, projection (w=1), trapezoidal corrector advected by the projected u,
     projection (w=0.5), then the CFL limit for the next step.
 
-    Returns ``(state', dt_next, pois_iters(2,), solver_stats(2, itmx+1, 3))``.
+    ``ctx``/``n_dist`` select the distributed (shard_map) variant; the
+    numerics are shared.  Returns ``(state', dt_next, pois_iters(2,),
+    solver_stats(2, itmx+1, 3))``.
     """
     t1 = t0 + dt
     u0 = state.u
     state = dataclasses.replace(state, u0=u0)
     # predictor: u zeroed in the interior, advect with u0 (`Flow.jl:157-161`)
     u = scale_interior(u0, 0.0)
-    u = _phase(state, u0, u, t0, dt, cfg, udf)
-    u = bc_vector(u, cfg.ubc, t1, cfg.exit_bc, cfg.perdir)
+    u = _phase(state, u0, u, t0, dt, cfg, udf, ctx)
+    u = bc_vector(u, cfg.ubc, t1, cfg.exit_bc, cfg.perdir, ctx)
     if cfg.exit_bc:
-        u = exit_bc(u, u0, dt)
-    u, p, n1, s1 = project(u, state.p, levels, masks, dt, cfg, t1, solve_fn)
+        u = exit_bc(u, u0, dt, ctx)
+    u, p, n1, s1 = project(u, state.p, levels, masks, dt, cfg, t1, solve_fn,
+                           ctx, n_dist)
     # corrector: advect with the projected u, blend 0.5 (`Flow.jl:163-165`)
-    u = _phase(state, u, u, t1, dt, cfg, udf)
+    u = _phase(state, u, u, t1, dt, cfg, udf, ctx)
     u = scale_interior(u, 0.5)
-    u = bc_vector(u, cfg.ubc, t1, cfg.exit_bc, cfg.perdir)
-    u, p, n2, s2 = project(u, p, levels, masks, 0.5 * dt, cfg, t1, solve_fn)
+    u = bc_vector(u, cfg.ubc, t1, cfg.exit_bc, cfg.perdir, ctx)
+    u, p, n2, s2 = project(u, p, levels, masks, 0.5 * dt, cfg, t1, solve_fn,
+                           ctx, n_dist)
     state = dataclasses.replace(state, u=u, p=p)
-    dt_next = cfl(u, state.nu)
+    dt_next = cfl(u, state.nu, ctx=ctx)
     return state, dt_next, jnp.stack([n1, n2]), jnp.stack([s1, s2])
+
+
+@partial(jax.jit, static_argnames=("cfg", "masks", "udf", "solve_fn"))
+def mom_step(cfg: FlowCfg, state: FlowState, levels, masks, dt, t0,
+             udf=None, solve_fn=None):
+    """Single-device jitted `mom_step_impl` (distributed callers wrap the
+    impl in `shard_map`, see `parallel.dist`)."""
+    return mom_step_impl(cfg, state, levels, masks, dt, t0, udf, solve_fn)
 
 
 # ---------------------------------------------------------------- host wrapper

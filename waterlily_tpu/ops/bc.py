@@ -28,12 +28,14 @@ __all__ = [
 ]
 
 
-def bc_field(ubc, i: int, shape: tuple[int, ...], t, dtype) -> jax.Array:
+def bc_field(ubc, i: int, shape: tuple[int, ...], t, dtype,
+             offset=None) -> jax.Array:
     """Evaluate the boundary spec for component ``i`` on the full face-``i``
     grid.  Constant tuples return a 0-d array (broadcasting handles the rest);
-    callables are vmapped over the grid points."""
+    callables are vmapped over the grid points (``offset`` maps local shard
+    indices to global coordinates)."""
     if callable(ubc):
-        coords = loc_grid(i, shape, dtype)          # (D, *shape)
+        coords = loc_grid(i, shape, dtype, offset)   # (D, *shape)
         flat = coords.reshape(len(shape), -1).T      # (M, D)
         vals = jax.vmap(lambda x: ubc(i, x, t))(flat)
         return vals.reshape(shape).astype(dtype)
@@ -48,7 +50,7 @@ def _broadcast_slab(vals: jax.Array, ref: jax.Array, axis: int, idx: int) -> jax
 
 
 def bc_vector(u: jax.Array, ubc, t=0.0, save_exit: bool = False,
-              perdir: tuple[int, ...] = ()) -> jax.Array:
+              perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
     """Apply domain BCs to a vector field ``u`` of shape ``(D, *Ng)``.
 
     Dirichlet on the normal component (ghost slab *and* first interior face),
@@ -57,14 +59,49 @@ def bc_vector(u: jax.Array, ubc, t=0.0, save_exit: bool = False,
     ``i=0`` exit plane for the convective outlet
     (`src/core.jl:199-224`).  The (i, j) loop order and slab update order match
     the reference exactly, so corner ghosts agree bitwise.
+
+    Under domain decomposition (``ctx``) each sharded direction first fetches
+    ring halos (which *are* the periodic BC when the ring wraps) and the
+    physical Dirichlet/Neumann writes apply only on boundary-owning shards.
     """
+    from .dist import edge_hi, edge_lo, fetch_hi, fetch_lo, offsets, sharded
+
     D, shape = u.shape[0], u.shape[1:]
+    off = offsets(ctx, shape) if ctx is not None else None
     for i in range(D):
         ui = u[i]
-        Ui = bc_field(ubc, i, shape, t, u.dtype)
+        Ui = bc_field(ubc, i, shape, t, u.dtype, off)
         for j in range(D):
             n = shape[j]
-            if j in perdir:
+            if ctx is not None and sharded(ctx, j):
+                lo_h = fetch_lo(ctx, ui, j, j, n - 2)
+                hi_h = fetch_hi(ctx, ui, j, j, 1)
+                if j in perdir:
+                    lo, hi = lo_h, hi_h
+                    one = slab(ui, j, 1)
+                elif i == j:
+                    lo = jnp.where(edge_lo(ctx, j), _broadcast_slab(Ui, ui, j, 0), lo_h)
+                    one = jnp.where(edge_lo(ctx, j), _broadcast_slab(Ui, ui, j, 1),
+                                    slab(ui, j, 1))
+                    if save_exit and i == 0:
+                        hi = jnp.where(edge_hi(ctx, j), slab(ui, j, n - 1), hi_h)
+                    else:
+                        hi = jnp.where(edge_hi(ctx, j), _broadcast_slab(Ui, ui, j, -1), hi_h)
+                else:
+                    if callable(ubc):
+                        lo_bc = _broadcast_slab(Ui, ui, j, 0) + slab(ui, j, 1) - _broadcast_slab(Ui, ui, j, 1)
+                        hi_bc = _broadcast_slab(Ui, ui, j, -1) + slab(ui, j, n - 2) - _broadcast_slab(Ui, ui, j, n - 2)
+                    else:
+                        lo_bc = slab(ui, j, 1)
+                        hi_bc = slab(ui, j, n - 2)
+                    lo = jnp.where(edge_lo(ctx, j), lo_bc, lo_h)
+                    hi = jnp.where(edge_hi(ctx, j), hi_bc, hi_h)
+                    one = slab(ui, j, 1)
+                ui = set_slab(ui, j, 0, lo)
+                if i == j and j not in perdir:
+                    ui = set_slab(ui, j, 1, one)
+                ui = set_slab(ui, j, -1, hi)
+            elif j in perdir:
                 ui = set_slab(ui, j, 0, slab(ui, j, n - 2))
                 ui = set_slab(ui, j, -1, slab(ui, j, 1))
             elif i == j:  # normal component: Dirichlet
@@ -100,20 +137,36 @@ def per_bc(a: jax.Array, perdir: tuple[int, ...], lead: int = 0) -> jax.Array:
     return a
 
 
-def exit_bc(u: jax.Array, u_old: jax.Array, dt) -> jax.Array:
+def exit_bc(u: jax.Array, u_old: jax.Array, dt, ctx=None) -> jax.Array:
     """1-D convective outlet on the ``i=0`` exit plane plus a global mass-flux
-    correction (`exitBC!`, `src/core.jl:226-233`).  The mean reductions become
-    `psum`s under sharding."""
+    correction (`exitBC!`, `src/core.jl:226-233`).
+
+    Distributed: the inflow/exit plane means become masked `psum`s (only
+    boundary-owning shards contribute) and the exit update applies on the
+    high-edge shards of dim 0.
+    """
+    from .dist import edge_hi, edge_lo, global_inside_count, psum_all
+
     D = u.shape[0]
     inner = (slice(1, -1),) * (D - 1)       # interior of the transverse dims
     exit_ix = (slice(-1, None),) + inner
     prev_ix = (slice(-2, -1),) + inner
     in_ix = (slice(1, 2),) + inner
-    u_in = jnp.mean(u[(0,) + in_ix])                      # inflow mass flux
+    if ctx is None:
+        u_in = jnp.mean(u[(0,) + in_ix])                   # inflow mass flux
+        ue = u_old[(0,) + exit_ix]
+        new = ue - u_in * dt * (ue - u_old[(0,) + prev_ix])  # 1-D convection
+        new = new - (jnp.mean(new) - u_in)                 # flux imbalance fix
+        return u.at[(0,) + exit_ix].set(new)
+    # global transverse interior count (the slab excludes dim-0)
+    count = global_inside_count(ctx, u.shape[1:]) // ((u.shape[1] - 2) * ctx.sizes[0])
+    lo0, hi0 = edge_lo(ctx, 0), edge_hi(ctx, 0)
+    u_in = psum_all(jnp.sum(jnp.where(lo0, u[(0,) + in_ix], 0.0)), ctx) / count
     ue = u_old[(0,) + exit_ix]
-    new = ue - u_in * dt * (ue - u_old[(0,) + prev_ix])    # 1-D convection
-    new = new - (jnp.mean(new) - u_in)                     # flux imbalance fix
-    return u.at[(0,) + exit_ix].set(new)
+    new = ue - u_in * dt * (ue - u_old[(0,) + prev_ix])
+    corr = psum_all(jnp.sum(jnp.where(hi0, new, 0.0)), ctx) / count - u_in
+    new = new - corr
+    return u.at[(0,) + exit_ix].set(jnp.where(hi0, new, u[(0,) + exit_ix]))
 
 
 def apply_scalar(f: Callable, shape: tuple[int, ...], dtype=jnp.float32) -> jax.Array:

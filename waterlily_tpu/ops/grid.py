@@ -89,18 +89,23 @@ def set_slab(a: jax.Array, axis: int, idx: int, values: jax.Array) -> jax.Array:
     return a.at[ix].set(values)
 
 
-def loc_grid(i: int | None, shape: tuple[int, ...], dtype=jnp.float32) -> jax.Array:
+def loc_grid(i: int | None, shape: tuple[int, ...], dtype=jnp.float32,
+             offset=None) -> jax.Array:
     """World coordinates of every grid point: shape ``(D, *shape)``.
 
     ``i`` is the 0-based face component (``None`` for cell centers).  Matches
     `loc(i,I,T)` (`src/core.jl:177-178`): with 0-based index ``I`` the
-    coordinate is ``I - 0.5 - 0.5*δ_{di}`` in dim ``d``.
+    coordinate is ``I - 0.5 - 0.5*δ_{di}`` in dim ``d``.  ``offset`` (per-dim,
+    possibly traced) shifts local shard indices to global ones under domain
+    decomposition.
     """
     D = len(shape)
     half = jnp.asarray(0.5, dtype)
     coords = []
     for d in range(D):
         c = jax.lax.broadcasted_iota(dtype, shape, d) - half
+        if offset is not None:
+            c = c + jnp.asarray(offset[d], dtype)
         if i is not None and d == i:
             c = c - half
         coords.append(c)

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from .bc import bc_vector, per_bc
+from .dist import (DistCtx, gather_scalar, global_inside_count, slice_local,
+                   sync_scalar)
 from .grid import grow, interior
 from .poisson import (PoissonLevel, gauss_seidel_rb, jacobi, increment,
                       make_level, l1n_tol, norms, residual)
@@ -89,7 +91,7 @@ def prolongate(b: jax.Array, c: tuple[bool, ...]) -> jax.Array:
 
 
 def restrict_L(Lf: jax.Array, c: tuple[bool, ...],
-               perdir: tuple[int, ...] = ()) -> jax.Array:
+               perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
     """Restrict face coefficients (`restrictL`/`restrictL!`,
     `MultiLevelPoisson.jl:10-26,42-47`): a coarse ``i``-face sums the fine
     faces composing it — the face-normal direction keeps only the fine face at
@@ -112,7 +114,7 @@ def restrict_L(Lf: jax.Array, c: tuple[bool, ...],
             a = a / 2
         comps.append(grow(a))
     Lc = jnp.stack(comps)
-    return bc_vector(Lc, (0.0,) * D, save_exit=False, perdir=perdir)
+    return bc_vector(Lc, (0.0,) * D, save_exit=False, perdir=perdir, ctx=ctx)
 
 
 def make_mg(mu0: jax.Array, perdir: tuple[int, ...] = (), maxlevels: int = 10):
@@ -140,20 +142,96 @@ def update_mg(levels, masks, mu0: jax.Array, perdir: tuple[int, ...] = ()):
 
 
 def v_cycle(levels, masks, x: jax.Array, r: jax.Array, omega,
-            perdir: tuple[int, ...] = (), l: int = 0, smooth_it: int = 4):
+            perdir: tuple[int, ...] = (), l: int = 0, smooth_it: int = 4,
+            ctx=None, n_dist: int = 0):
     """One V-cycle (`Vcycle!`, `MultiLevelPoisson.jl:88-101`): fine Jacobi
     pre-smooth, restrict residual, recurse, coarse red-black Gauss-Seidel,
-    prolongate + increment.  Unrolled over the static level list."""
+    prolongate + increment.  Unrolled over the static level list.
+
+    Distributed mode: levels ``< n_dist`` hold per-shard local blocks and use
+    halo-synced smoothers; at the transition the residual is all-gathered and
+    the replicated coarse tail runs the plain single-device code (the
+    coarse-grid-gather strategy), with the correction sliced back per shard.
+    """
     fine, coarse = levels[l], levels[l + 1]
     c = masks[l]
-    x, r = jacobi(fine, x, r, it=1, omega=1.0, perdir=perdir)
+    if ctx is not None and l == n_dist - 1:
+        # transition: fine is the last distributed level, coarse is replicated
+        x, r = jacobi(fine, x, r, it=1, omega=1.0, perdir=perdir, ctx=ctx)
+        rg = gather_scalar(r, ctx)
+        rc = restrict(rg, c)
+        xc = jnp.zeros_like(rc)
+        if l + 1 < len(levels) - 1:
+            xc, rc = v_cycle(levels, masks, xc, rc, omega, perdir, l + 1,
+                             smooth_it)
+        xc, rc = gauss_seidel_rb(coarse, xc, rc, it=smooth_it, omega=omega,
+                                 perdir=perdir)
+        eps = slice_local(prolongate(xc, c), ctx)
+        return increment(fine, x, r, eps, omega, perdir, ctx)
+    sub = ctx if (ctx is not None and l + 1 < n_dist) else None
+    x, r = jacobi(fine, x, r, it=1, omega=1.0, perdir=perdir,
+                  ctx=ctx if l < n_dist else None)
     rc = restrict(r, c)
     xc = jnp.zeros_like(rc)
     if l + 1 < len(levels) - 1:
-        xc, rc = v_cycle(levels, masks, xc, rc, omega, perdir, l + 1, smooth_it)
-    xc, rc = gauss_seidel_rb(coarse, xc, rc, it=smooth_it, omega=omega, perdir=perdir)
+        xc, rc = v_cycle(levels, masks, xc, rc, omega, perdir, l + 1,
+                         smooth_it, ctx, n_dist)
+    xc, rc = gauss_seidel_rb(coarse, xc, rc, it=smooth_it, omega=omega,
+                             perdir=perdir, ctx=sub)
     eps = prolongate(xc, c)
-    return increment(fine, x, r, eps, omega, perdir)
+    return increment(fine, x, r, eps, omega, perdir,
+                     ctx if l < n_dist else None)
+
+
+def dist_n_levels(global_shape: tuple[int, ...], sizes: tuple[int, ...],
+                  maxlevels: int = 10) -> tuple[list, list, int]:
+    """Level shapes/masks plus the distributed-prefix length: a level stays
+    distributed while every mesh-split dim keeps an even split with >= 2
+    interior cells per shard; coarser levels are replicated (coarse-grid
+    gather)."""
+    shapes, masks = level_shapes(global_shape, maxlevels)
+
+    def dist_ok(shape):
+        for d, k in enumerate(sizes):
+            if k > 1:
+                n = shape[d] - 2
+                if n % k != 0 or n // k < 2:
+                    return False
+        return True
+
+    n_dist = 0
+    for sh in shapes:
+        if dist_ok(sh):
+            n_dist += 1
+        else:
+            break
+    return shapes, masks, n_dist
+
+
+def make_mg_dist(mu0_local: jax.Array, ctx, masks, n_dist: int,
+                 perdir: tuple[int, ...] = ()):
+    """Build the level stack from a *local-block* mu0 inside `shard_map`:
+    levels < ``n_dist`` are per-shard local blocks (halo-consistent ghosts via
+    the distributed zero-velocity BC), the tail is gathered to the replicated
+    global grid and built with the plain code (`update!`,
+    `MultiLevelPoisson.jl:79-86`)."""
+    D = mu0_local.shape[0]
+    levels = [make_level(mu0_local)]
+    L = mu0_local
+    distributed = True
+    for idx, c in enumerate(masks):
+        if distributed and idx + 1 >= n_dist:
+            # transition: gather the fine coefficients, restore the global
+            # ghost convention, continue replicated
+            Lg = jnp.stack([gather_scalar(L[i], ctx) for i in range(D)])
+            L = bc_vector(Lg, (0.0,) * D, save_exit=False, perdir=perdir)
+            distributed = False
+        if distributed:
+            L = restrict_L(L, c, perdir, ctx)
+        else:
+            L = restrict_L(L, c, perdir)
+        levels.append(make_level(L))
+    return tuple(levels)
 
 
 class MGSolveResult(NamedTuple):
@@ -165,17 +243,19 @@ class MGSolveResult(NamedTuple):
 
 def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
              itmx: int = 32, perdir: tuple[int, ...] = (),
-             smooth_it: int = 4) -> MGSolveResult:
+             smooth_it: int = 4, ctx=None, n_dist: int = 0) -> MGSolveResult:
     """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
     V-cycle + fine smooth per iteration, adaptive relaxation
     ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
     ``L1 < tol/10·N`` ∧ ``Linf < tol``, all on device scalars."""
     p = levels[0]
     dtype = x.dtype
-    r1tol = jnp.asarray(l1n_tol(x.shape, tol), dtype)
+    fine_ctx = ctx if n_dist > 0 else None
+    r1tol = jnp.asarray((tol / 10.0) * global_inside_count(fine_ctx, x.shape),
+                        dtype)
     rinf_tol = jnp.asarray(tol, dtype)
-    r = residual(p, x, z, perdir)
-    r1, rinf = norms(r)
+    r = residual(p, x, z, perdir, fine_ctx)
+    r1, rinf = norms(r, fine_ctx)
     omega = jnp.asarray(1.0, dtype)
     stats = jnp.zeros((itmx + 1, 3), dtype).at[0].set(jnp.stack([rinf, r1, omega]))
 
@@ -185,9 +265,11 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
 
     def body(c):
         x, r, r1, rinf, omega, n, stats = c
-        x, r = v_cycle(levels, masks, x, r, omega, perdir, 0, smooth_it)
-        x, r = gauss_seidel_rb(p, x, r, it=smooth_it, omega=omega, perdir=perdir)
-        rnew, rinf = norms(r)
+        x, r = v_cycle(levels, masks, x, r, omega, perdir, 0, smooth_it,
+                       ctx, n_dist)
+        x, r = gauss_seidel_rb(p, x, r, it=smooth_it, omega=omega,
+                               perdir=perdir, ctx=fine_ctx)
+        rnew, rinf = norms(r, fine_ctx)
         omega = jnp.where(rnew >= r1,
                           jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),
                           jnp.minimum(jnp.asarray(1.0, dtype), 1.02 * omega))
@@ -198,4 +280,4 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
 
     x, r, r1, rinf, omega, n, stats = jax.lax.while_loop(
         cond, body, (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats))
-    return MGSolveResult(per_bc(x, perdir), r, n, stats)
+    return MGSolveResult(sync_scalar(x, fine_ctx, perdir), r, n, stats)

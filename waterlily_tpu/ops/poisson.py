@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from .bc import per_bc
+from .dist import (global_inside_count, parity_shift, pmax_all, psum_all,
+                   sync_scalar)
 from .grid import index_sum_parity, interior, grow, shift
 
 __all__ = [
@@ -68,21 +70,22 @@ def _mult_raw(p: PoissonLevel, x: jax.Array) -> jax.Array:
     return _zero_ghost(s)
 
 
-def mult(p: PoissonLevel, x: jax.Array, perdir: tuple[int, ...] = ()) -> jax.Array:
-    """A·x with periodic ghosts refreshed first (`mult!`, `Poisson.jl:63-68`).
-    Ghost entries of the result are zero."""
-    return _mult_raw(p, per_bc(x, perdir))
+def mult(p: PoissonLevel, x: jax.Array, perdir: tuple[int, ...] = (),
+         ctx=None) -> jax.Array:
+    """A·x with periodic/halo ghosts refreshed first (`mult!`,
+    `Poisson.jl:63-68`).  Ghost entries of the result are zero."""
+    return _mult_raw(p, sync_scalar(x, ctx, perdir))
 
 
 def residual(p: PoissonLevel, x: jax.Array, z: jax.Array,
-             perdir: tuple[int, ...] = ()) -> jax.Array:
+             perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
     """r = z - A·x with the two null-space fixes of `Poisson.jl:92-98`:
     r = 0 where iD == 0 (local satisfiability) and mean(r) subtracted
-    (global satisfiability)."""
-    r = jnp.where(p.iD == 0, 0.0, z - mult(p, x, perdir))
+    (global satisfiability; a psum under sharding)."""
+    r = jnp.where(p.iD == 0, 0.0, z - mult(p, x, perdir, ctx))
     r = _zero_ghost(r)
-    n_inside = math.prod(n - 2 for n in x.shape)
-    s = jnp.sum(r) / n_inside
+    n_inside = global_inside_count(ctx, x.shape)
+    s = psum_all(jnp.sum(r), ctx) / n_inside
     eps2 = 2 * jnp.finfo(x.dtype).eps
     r = r - jnp.where(jnp.abs(s) <= eps2, 0.0, s) * _inside_ones(x)
     return r
@@ -93,21 +96,21 @@ def _inside_ones(x: jax.Array) -> jax.Array:
 
 
 def increment(p: PoissonLevel, x: jax.Array, r: jax.Array, eps: jax.Array,
-              omega=1.0, perdir: tuple[int, ...] = ()):
+              omega=1.0, perdir: tuple[int, ...] = (), ctx=None):
     """x += ω·eps, r -= ω·A·eps on the interior (`increment!`,
     `Poisson.jl:100-104`)."""
-    eps = per_bc(eps, perdir)
+    eps = sync_scalar(eps, ctx, perdir)
     r = r - omega * _mult_raw(p, eps)
     x = x + omega * _zero_ghost(eps)
     return x, r
 
 
 def jacobi(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 1, omega=1.0,
-           perdir: tuple[int, ...] = ()):
+           perdir: tuple[int, ...] = (), ctx=None):
     """Jacobi smoother (`Jacobi!`, `Poisson.jl:111-114`)."""
     for _ in range(it):
         eps = _zero_ghost(r * p.iD)
-        x, r = increment(p, x, r, eps, omega, perdir)
+        x, r = increment(p, x, r, eps, omega, perdir, ctx)
     return x, r
 
 
@@ -120,7 +123,7 @@ def _gauss(p: PoissonLevel, r: jax.Array, eps: jax.Array) -> jax.Array:
 
 
 def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
-                    omega=1.0, perdir: tuple[int, ...] = ()):
+                    omega=1.0, perdir: tuple[int, ...] = (), ctx=None):
     """Red-black Gauss-Seidel smoother (`GaussSeidelRB!`, `Poisson.jl:141-148`).
 
     The reference's k-plane coloring (`gauss_rb`/`half_rangek`,
@@ -129,14 +132,20 @@ def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
     checkerboard-masked whole-array update — embarrassingly parallel by
     construction, which is why the reference chose RB in the first place.
     """
-    eps = per_bc(_zero_ghost(r * p.iD), perdir)
+    eps = sync_scalar(_zero_ghost(r * p.iD), ctx, perdir)
     Dim = p.L.shape[0]
     parity = index_sum_parity(x.shape)           # sum of 0-based indices % 2
+    pshift = parity_shift(ctx, x.shape)          # global checkerboard offset
     inside = _inside_ones(x) > 0
     for k0 in range(1, it + 1):
-        color = ((parity + Dim + k0) % 2 == 1) & inside
+        color = ((parity + pshift + Dim + k0) % 2 == 1) & inside
         eps = jnp.where(color, _gauss(p, r, eps), eps)
-    return increment(p, x, r, eps, omega, perdir)
+        if k0 < it:
+            # refresh halos so each color sweep sees the fresh opposite color
+            # (single-device ghosts are read through face coefficients the BC
+            # zeroed, so this is a no-op there except for periodic wrap)
+            eps = sync_scalar(eps, ctx, perdir)
+    return increment(p, x, r, eps, omega, perdir, ctx)
 
 
 def _pdot(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -147,14 +156,14 @@ def _pdot(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def pcg(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 6,
-        perdir: tuple[int, ...] = ()):
+        perdir: tuple[int, ...] = (), ctx=None):
     """Jacobi-preconditioned conjugate-gradient smoother with the reference's
     early-exit guards (`pcg!`, `Poisson.jl:166-186`), restructured as a
     `lax.while_loop` so it can run inside a jitted solver."""
     dtype = x.dtype
     tiny = 10 * jnp.finfo(dtype).eps
     z0 = _zero_ghost(r * p.iD)
-    rho0 = jnp.sum(r * z0)
+    rho0 = psum_all(jnp.sum(r * z0), ctx)
     go0 = jnp.abs(rho0) >= tiny
 
     def cond(c):
@@ -162,15 +171,15 @@ def pcg(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 6,
 
     def body(c):
         x, r, eps, rho, i, _ = c
-        epsb = per_bc(eps, perdir)
+        epsb = sync_scalar(eps, ctx, perdir)
         zz = _mult_raw(p, epsb)
-        alpha = rho / _pdot(zz, epsb)
+        alpha = rho / psum_all(_pdot(zz, epsb), ctx)
         bad = (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)  # alpha ~ O(1)
         a = jnp.where(bad, 0.0, alpha)
         x = x + a * _zero_ghost(epsb)
         r = r - a * zz
         z2 = _zero_ghost(r * p.iD)
-        rho2 = jnp.sum(r * z2)
+        rho2 = psum_all(jnp.sum(r * z2), ctx)
         go = (~bad) & (i + 1 < it) & (jnp.abs(rho2) >= tiny)
         eps2 = _zero_ghost((rho2 / rho) * epsb + z2)
         eps = jnp.where(go, eps2, epsb)
@@ -180,11 +189,12 @@ def pcg(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 6,
     return x, r
 
 
-def norms(r: jax.Array):
+def norms(r: jax.Array, ctx=None):
     """(L1, Linf) of the residual; ghosts are zero so full-array reductions
-    equal the interior ones (`Poisson.jl:188-191`)."""
+    equal the interior ones (`Poisson.jl:188-191`).  psum/pmax under
+    sharding."""
     a = jnp.abs(r)
-    return jnp.sum(a), jnp.max(a)
+    return psum_all(jnp.sum(a), ctx), pmax_all(jnp.max(a), ctx)
 
 
 def l1n_tol(shape: tuple[int, ...], tol: float) -> float:
@@ -193,7 +203,7 @@ def l1n_tol(shape: tuple[int, ...], tol: float) -> float:
 
 
 def solve(p: PoissonLevel, x: jax.Array, z: jax.Array, tol: float = 2e-3,
-          itmx: int = 1000, perdir: tuple[int, ...] = ()):
+          itmx: int = 1000, perdir: tuple[int, ...] = (), ctx=None):
     """Standalone PCG Poisson solver (`solver!`, `Poisson.jl:212-223`).
 
     Returns ``(x, r, n_iters, stats)`` where ``stats[k] = (r_inf, r_1)`` after
@@ -201,10 +211,10 @@ def solve(p: PoissonLevel, x: jax.Array, z: jax.Array, tol: float = 2e-3,
     the `@log` pressure-solver channel (`src/core.jl:4-24`).
     """
     dtype = x.dtype
-    r1tol = jnp.asarray(l1n_tol(x.shape, tol), dtype)
+    r1tol = jnp.asarray((tol / 10.0) * global_inside_count(ctx, x.shape), dtype)
     rinf_tol = jnp.asarray(tol, dtype)
-    r = residual(p, x, z, perdir)
-    r1, rinf = norms(r)
+    r = residual(p, x, z, perdir, ctx)
+    r1, rinf = norms(r, ctx)
     stats = jnp.zeros((itmx + 1, 2), dtype).at[0].set(jnp.stack([rinf, r1]))
 
     def cond(c):
@@ -213,12 +223,12 @@ def solve(p: PoissonLevel, x: jax.Array, z: jax.Array, tol: float = 2e-3,
 
     def body(c):
         x, r, r1, rinf, n, stats = c
-        x, r = pcg(p, x, r, it=6, perdir=perdir)
-        r1, rinf = norms(r)
+        x, r = pcg(p, x, r, it=6, perdir=perdir, ctx=ctx)
+        r1, rinf = norms(r, ctx)
         n = n + 1
         stats = jax.lax.dynamic_update_slice(stats, jnp.stack([rinf, r1])[None], (n, jnp.asarray(0, n.dtype)))
         return (x, r, r1, rinf, n, stats)
 
     x, r, r1, rinf, n, stats = jax.lax.while_loop(
         cond, body, (x, r, r1, rinf, jnp.asarray(0, jnp.int32), stats))
-    return per_bc(x, perdir), r, n, stats
+    return sync_scalar(x, ctx, perdir), r, n, stats

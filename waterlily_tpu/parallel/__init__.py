@@ -1,3 +1,2 @@
-from . import sharding  # noqa: F401
-from .sharding import (make_mesh, shard_flow_state, shard_levels,  # noqa: F401
-                       shard_simulation, state_sharding)
+from . import dist  # noqa: F401
+from .dist import DistSimulation, from_blocked, make_mesh, to_blocked  # noqa: F401

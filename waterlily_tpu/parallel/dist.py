@@ -1,0 +1,297 @@
+"""Multi-chip domain decomposition driver: `DistSimulation`.
+
+The first-class distributed component the reference lacks (it is
+single-device; its MPI scaling work lives in a separate fork — SURVEY §2.14).
+
+Architecture (TPU-native, per SURVEY §7):
+
+* the interior grid is split evenly over a `jax.sharding.Mesh` with axes
+  ('x','y','z') mapped to the leading spatial dims;
+* every shard stores its block in the same 1-ghost-padded layout as a
+  single-device field, so the whole numerics stack runs unchanged per shard
+  (`mom_step_impl` with a `DistCtx`);
+* ghost contents come from ring `ppermute` halo exchanges over ICI — one
+  exchange per stencil sweep, per smoother color, and per multigrid level;
+* global reductions (CFL, residual norms, exit flux) are `psum`/`pmax`;
+* multigrid levels too coarse to split are all-gathered and solved replicated
+  (coarse-grid gather).
+
+The "blocked" host layout concatenates the padded local blocks, so a global
+blocked array has size ``k·(N/k + 2)`` per sharded dim; `to_blocked` /
+`from_blocked` convert to and from the dense single-device layout.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import flow as fl
+from ..models.body import NoBody, measure_fill
+from ..ops import multigrid as mg
+from ..ops.dist import make_ctx
+from ..simulation import Simulation
+
+try:  # jax >= 0.5 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["make_mesh", "to_blocked", "from_blocked", "DistSimulation"]
+
+
+def make_mesh(shape: Optional[tuple[int, ...]] = None, devices=None) -> Mesh:
+    """Device mesh with axes ('x','y','z')[:ndim] for spatial decomposition."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    names = ("x", "y", "z")[: len(shape)]
+    arr = np.asarray(devices[: math.prod(shape)]).reshape(shape)
+    return Mesh(arr, names)
+
+
+def _mesh_sizes(mesh: Mesh, D: int) -> tuple[int, ...]:
+    names = list(mesh.axis_names)
+    return tuple(mesh.shape[names[d]] if d < len(names) else 1 for d in range(D))
+
+
+def _mesh_axes(mesh: Mesh, D: int) -> tuple:
+    names = list(mesh.axis_names)
+    return tuple(names[d] if d < len(names) and mesh.shape[names[d]] > 1 else None
+                 for d in range(D))
+
+
+# ------------------------------------------------------------- blocked layout
+def to_blocked(a: np.ndarray, sizes: tuple[int, ...], lead: int = 0) -> jnp.ndarray:
+    """Dense padded global array → blocked layout: per sharded dim, the
+    interior is split into ``k`` chunks and each chunk carries its own ghost
+    layer (neighbor interior values, or the physical ghosts at the ends)."""
+    a = np.asarray(a)
+    for d, k in enumerate(sizes):
+        if k == 1:
+            continue
+        ax = lead + d
+        n_int = a.shape[ax] - 2
+        nl = n_int // k
+        chunks = []
+        for s in range(k):
+            i0 = 1 + s * nl
+            sl = [slice(None)] * a.ndim
+            sl[ax] = slice(i0 - 1, i0 + nl + 1)
+            chunks.append(a[tuple(sl)])
+        a = np.concatenate(chunks, axis=ax)
+    return jnp.asarray(a)
+
+
+def from_blocked(a, sizes: tuple[int, ...], lead: int = 0) -> np.ndarray:
+    """Inverse of `to_blocked` (drops duplicate halo layers)."""
+    a = np.asarray(a)
+    for d, k in enumerate(sizes):
+        if k == 1:
+            continue
+        ax = lead + d
+        nl = a.shape[ax] // k          # local padded length
+        parts = []
+        for s in range(k):
+            sl = [slice(None)] * a.ndim
+            lo = s * nl + (0 if s == 0 else 1)
+            hi = (s + 1) * nl - (0 if s == k - 1 else 1)
+            sl[ax] = slice(lo, hi)
+            parts.append(a[tuple(sl)])
+        a = np.concatenate(parts, axis=ax)
+    return a
+
+
+class DistSimulation:
+    """Domain-decomposed drop-in for `Simulation`.
+
+    Build a regular `Simulation` (dense, single device) and hand it over::
+
+        sim = Simulation((256, 128, 128), (1, 0, 0), 32, body=sphere)
+        dsim = DistSimulation(sim, make_mesh((4, 2)))
+        dsim.sim_step(10)                     # SPMD over the mesh
+        u = dsim.u                            # dense layout for analysis
+
+    Every sharded interior dim must split evenly with >= 2 cells per shard,
+    and at least the finest multigrid level must remain distributable.
+    """
+
+    def __init__(self, sim: Simulation, mesh: Mesh):
+        cfg = sim.flow.cfg
+        D = cfg.D
+        self.mesh = mesh
+        self.sizes = _mesh_sizes(mesh, D)
+        self.axes = _mesh_axes(mesh, D)
+        for d, k in enumerate(self.sizes):
+            n = cfg.shape[d] - 2
+            if k > 1 and (n % k != 0 or n // k < 2):
+                raise ValueError(
+                    f"dim {d}: interior {n} not evenly divisible over {k} shards")
+        shapes, masks, n_dist = mg.dist_n_levels(cfg.shape, self.sizes)
+        if n_dist < 1:
+            raise ValueError("grid too small to distribute over this mesh")
+        self.masks, self.n_dist = tuple(masks), n_dist
+        self.sim = sim
+        self.cfg = cfg
+        # blocked, sharded device state
+        self.state = self._put_state(sim.flow.state)
+        self.levels = self._build_levels()
+        self.solver_stats = None
+
+    # ------------------------------------------------------------ specs
+    def _specs(self, lead: int):
+        sp = tuple(self.axes[d] for d in range(len(self.sizes)))
+        return P(*((None,) * lead + sp))
+
+    def _put(self, a: np.ndarray, lead: int):
+        blocked = to_blocked(np.asarray(a), self.sizes, lead)
+        return jax.device_put(blocked, NamedSharding(self.mesh, self._specs(lead)))
+
+    def _put_state(self, state: fl.FlowState) -> fl.FlowState:
+        return fl.FlowState(
+            u=self._put(state.u, 1), u0=self._put(state.u0, 1),
+            p=self._put(state.p, 0), V=self._put(state.V, 1),
+            mu0=self._put(state.mu0, 1), mu1=self._put(state.mu1, 2),
+            nu=state.nu)
+
+    def _level_specs(self):
+        """out_specs for the level stack: distributed prefix sharded,
+        replicated tail."""
+        out = []
+        for l in range(self.n_levels):
+            if l < self.n_dist:
+                out.append(mg.PoissonLevel(self._specs(1), self._specs(0),
+                                           self._specs(0)))
+            else:
+                out.append(mg.PoissonLevel(P(), P(), P()))
+        return tuple(out)
+
+    @property
+    def n_levels(self):
+        return len(self.masks) + 1
+
+    # ------------------------------------------------------------ jitted steps
+    def _build_levels(self):
+        cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
+        axes, sizes = self.axes, self.sizes
+
+        @partial(shard_map, mesh=self.mesh, in_specs=self._specs(1),
+                 out_specs=self._level_specs(), check_vma=False)
+        def build(mu0_local):
+            ctx = make_ctx(axes, sizes, mu0_local.shape[1:])
+            return mg.make_mg_dist(mu0_local, ctx, masks, n_dist, cfg.perdir)
+
+        return jax.jit(build)(self.state.mu0)
+
+    def _step_fn(self, udf):
+        cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
+        axes, sizes = self.axes, self.sizes
+        state_specs = fl.FlowState(
+            u=self._specs(1), u0=self._specs(1), p=self._specs(0),
+            V=self._specs(1), mu0=self._specs(1), mu1=self._specs(2), nu=P())
+        stats_spec = (state_specs, P(), P(), P())
+
+        @partial(jax.jit, static_argnames=())
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(state_specs, self._level_specs(), P(), P()),
+                 out_specs=stats_spec, check_vma=False)
+        def step(state, levels, dt, t0):
+            ctx = make_ctx(axes, sizes, state.p.shape)
+            return fl.mom_step_impl(cfg, state, levels, masks, dt, t0, udf,
+                                    None, ctx, n_dist)
+
+        return step
+
+    def _measure_fn(self):
+        cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
+        axes, sizes = self.axes, self.sizes
+        eps_k = float(self.sim.eps)
+        out_specs = (self._specs(1), self._specs(1), self._specs(2),
+                     self._level_specs())
+
+        @jax.jit
+        @partial(shard_map, mesh=self.mesh, in_specs=(P(), P()),
+                 out_specs=out_specs, check_vma=False)
+        def measure(body, t):
+            local_shape = tuple((cfg.shape[d] - 2) // sizes[d] + 2
+                                for d in range(cfg.D))
+            ctx = make_ctx(axes, sizes, local_shape)
+            V, mu0, mu1, _ = measure_fill(body, local_shape, t, eps_k,
+                                          cfg.dtype, cfg.perdir, cfg.exit_bc,
+                                          ctx)
+            levels = mg.make_mg_dist(mu0, ctx, masks, n_dist, cfg.perdir)
+            return V, mu0, mu1, levels
+
+        return measure
+
+    # ------------------------------------------------------------ driver
+    @property
+    def flow(self):
+        return self.sim.flow
+
+    @property
+    def time(self) -> float:
+        return self.sim.flow.time
+
+    @property
+    def sim_time(self) -> float:
+        return self.time * self.sim.U / self.sim.L
+
+    @property
+    def pois_n(self):
+        return self.sim.flow.pois_n
+
+    @property
+    def u(self) -> np.ndarray:
+        """Velocity in the dense single-device layout."""
+        return from_blocked(self.state.u, self.sizes, lead=1)
+
+    @property
+    def p(self) -> np.ndarray:
+        return from_blocked(self.state.p, self.sizes, lead=0)
+
+    def measure(self, t: Optional[float] = None):
+        if isinstance(self.sim.body, NoBody):
+            return
+        if t is None:
+            t = self.time + self.sim.flow.dt[-1]
+        if not hasattr(self, "_measure"):
+            self._measure = self._measure_fn()
+        V, mu0, mu1, levels = self._measure(self.sim.body,
+                                            jnp.asarray(t, self.cfg.dtype))
+        self.state = dataclasses.replace(self.state, V=V, mu0=mu0, mu1=mu1)
+        self.levels = levels
+
+    def step_once(self, remeasure: bool = True, udf=None):
+        if remeasure:
+            self.measure()
+        key = id(udf)
+        cache = getattr(self, "_step_cache", None)
+        if cache is None or cache[0] != key:
+            self._step_cache = (key, self._step_fn(udf))
+        step = self._step_cache[1]
+        dt = jnp.asarray(self.sim.flow.dt[-1], self.cfg.dtype)
+        t0 = jnp.asarray(self.time, self.cfg.dtype)
+        self.state, dt_next, iters, stats = step(self.state, self.levels, dt, t0)
+        self.sim.flow.dt.append(float(dt_next))
+        self.sim.flow.pois_n += [int(iters[0]), int(iters[1])]
+        self.solver_stats = stats
+        return self
+
+    def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
+                 max_steps: int = 10**9, verbose: bool = False, udf=None):
+        if t_end is None:
+            return self.step_once(remeasure, udf)
+        steps = 0
+        while self.sim_time < t_end and steps < max_steps:
+            self.step_once(remeasure, udf)
+            steps += 1
+            if verbose:
+                print(f"tU/L={self.sim_time:.4f}, dt={self.sim.flow.dt[-1]:.3f}")
+        return self
