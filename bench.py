@@ -1,0 +1,69 @@
+"""Headline benchmark: 3D sphere flow stepping rate (cell-updates/s/chip).
+
+BASELINE.json north star: >= 1e9 cell-updates/s per chip at 256^3 with
+drag parity.  The reference's corresponding figure is 1.44 ns/DoF/step on a
+CUDA GPU (`/root/reference/README.md:109`), i.e. ~0.7e9 DoF/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env overrides: WLTPU_BENCH_N (cube size, default 256), WLTPU_BENCH_STEPS.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    N = int(os.environ.get("WLTPU_BENCH_N", "256"))
+    steps = int(os.environ.get("WLTPU_BENCH_STEPS", "10"))
+    from waterlily_tpu import AutoBody, Simulation
+    from waterlily_tpu.models import flow as fl
+
+    radius = N // 8
+    ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius)
+    sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
+                     body=body, dtype=jnp.float32)
+    cfg, masks = sim.flow.cfg, sim.masks
+
+    def step(state, levels, dt, t0):
+        return fl.mom_step_impl(cfg, state, levels, masks, dt, t0)
+
+    step = jax.jit(step)
+
+    state, levels = sim.flow.state, sim.levels
+    dt = jnp.asarray(sim.flow.dt[-1], cfg.dtype)
+    t0 = jnp.asarray(0.0, cfg.dtype)
+    # warmup: compile + 2 steps (lets dt settle to the CFL limit)
+    for _ in range(2):
+        state, dt_n, _, _ = step(state, levels, dt, t0)
+        t0 = t0 + dt
+        dt = dt_n
+    jax.block_until_ready(state.u)
+
+    t_start = time.perf_counter()
+    for _ in range(steps):
+        state, dt_n, _, _ = step(state, levels, dt, t0)
+        t0 = t0 + dt
+        dt = dt_n
+    jax.block_until_ready(state.u)
+    elapsed = time.perf_counter() - t_start
+
+    cells = N ** 3
+    rate = cells * steps / elapsed
+    print(json.dumps({
+        "metric": f"3D sphere {N}^3 cell-updates/s/chip",
+        "value": rate,
+        "unit": "cell-updates/s",
+        "vs_baseline": rate / 1e9,
+    }))
+
+
+if __name__ == "__main__":
+    main()
