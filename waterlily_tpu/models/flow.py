@@ -97,15 +97,23 @@ class FlowCfg:
         return len(self.shape)
 
 
+def _inside_mask(shape, nd):
+    m = None
+    for d in range(nd):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - nd + d)
+        md = (i > 0) & (i < shape[len(shape) - nd + d] - 1)
+        m = md if m is None else (m & md)
+    return m
+
+
 def _zg_s(a: jax.Array) -> jax.Array:
-    """Zero the ghost layer of a scalar field."""
-    return grow(interior(a))
+    """Zero the ghost layer of a scalar field (iota-mask: fully fusible)."""
+    return jnp.where(_inside_mask(a.shape, a.ndim), a, 0.0)
 
 
 def _zg_v(a: jax.Array) -> jax.Array:
     """Zero the ghost layer of a vector field (trailing spatial dims)."""
-    d = a.ndim - 1
-    return grow(interior(a, d), d)
+    return jnp.where(_inside_mask(a.shape, a.ndim - 1), a, 0.0)
 
 
 def scale_interior(u: jax.Array, s) -> jax.Array:
@@ -128,6 +136,65 @@ def _slab_ix(axis: int, idx: int):
     return (slice(None),) * axis + (slice(idx, idx + 1),)
 
 
+def _phi_slabs(u, f, i, j, scheme, nu, perdir, ctx):
+    """Boundary-slab flux values for pair (i, j): the fixed first-interior and
+    top-ghost fluxes (`ϕuL`/`ϕuR`/`ϕuP`, `Flow.jl:56-62`) plus the generic
+    formula evaluated on the same slabs (needed to correct the fused kernel).
+
+    Returns (phi_lo, phi_gen_lo, phi_hi, phi_gen_hi) — 2-D slabs (dim j kept
+    with extent 1)."""
+    n = f.shape[j]
+    per = j in perdir
+    uadv = 0.5 * (u[j] + shift(u[j], i, -1))
+    lo, hi = _slab_ix(j, 1), _slab_ix(j, n - 1)
+    f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
+    ua = uadv[lo]
+    # second-upwind value for the first interior slab: ring fetch
+    # (self-wrap when unsharded == the periodic ϕuP index n-3)
+    f_mm = fetch_lo(ctx, f, j, j, n - 3) if (ctx is not None and sharded(ctx, j)) \
+        else f[_slab_ix(j, n - 3)]
+    phi_gen_lo = (ua * jnp.where(ua > 0, scheme(f_mm, f0, f1), scheme(f2, f1, f0))
+                  - nu * (f1 - f0))
+    # the fused kernel's generic value at this slab reads the roll-wrap
+    # second-upwind value f[n-1] (not the periodic ϕuP index n-3)
+    f_wrap = f[_slab_ix(j, n - 1)]
+    phi_gen_lo_roll = (ua * jnp.where(ua > 0, scheme(f_wrap, f0, f1), scheme(f2, f1, f0))
+                       - nu * (f1 - f0))
+    if per:
+        phi_lo = phi_gen_lo
+    else:
+        phi_l = (ua * jnp.where(ua > 0, 0.5 * (f1 + f0), scheme(f2, f1, f0))
+                 - nu * (f1 - f0))
+        if ctx is not None and sharded(ctx, j):
+            phi_lo = jnp.where(edge_lo(ctx, j), phi_l, phi_gen_lo)
+        else:
+            phi_lo = phi_l
+
+    # top ghost slab: neighbor's first flux plane (ring) or ϕuR at the
+    # physical high boundary
+    fm1, fm2, fm3 = f[hi], f[_slab_ix(j, n - 2)], f[_slab_ix(j, n - 3)]
+    ua_h = uadv[hi]
+    phi_gen_hi = (ua_h * jnp.where(ua_h > 0, scheme(fm3, fm2, fm1),
+                                   scheme(f0, fm1, fm2))
+                  - nu * (fm1 - fm2))
+    if ctx is not None and sharded(ctx, j):
+        phi_wrap = jax.lax.ppermute(phi_lo, ctx.axes[j],
+                                    [(s_, (s_ - 1) % ctx.sizes[j])
+                                     for s_ in range(ctx.sizes[j])])
+    else:
+        phi_wrap = phi_lo
+    if per:
+        phi_hi = phi_wrap
+    else:
+        phi_r = (ua_h * jnp.where(ua_h < 0, 0.5 * (fm1 + fm2), scheme(fm3, fm2, fm1))
+                 - nu * (fm1 - fm2))
+        if ctx is not None and sharded(ctx, j):
+            phi_hi = jnp.where(edge_hi(ctx, j), phi_r, phi_wrap)
+        else:
+            phi_hi = phi_r
+    return phi_lo, phi_gen_lo_roll, phi_hi, phi_gen_hi
+
+
 def conv_diff(u: jax.Array, scheme: Callable, nu, perdir: tuple[int, ...] = (),
               ctx=None):
     """Convective + diffusive momentum RHS (`conv_diff!`, `Flow.jl:38-62`).
@@ -136,74 +203,69 @@ def conv_diff(u: jax.Array, scheme: Callable, nu, perdir: tuple[int, ...] = (),
 
         Φ = uadv · λ(upwind stencil of u_i) − ν ∂u_i/∂x_j
 
-    is evaluated on the whole grid with roll shifts; the first interior slab
-    is then fixed up (the generic 3-point upwind stencil would reach past the
-    single ghost layer) and the top ghost slab receives the flux of the cell
-    above — three unified cases:
+    is evaluated with roll shifts; the first interior slab is fixed up (the
+    generic 3-point upwind stencil would reach past the single ghost layer)
+    and the top ghost slab receives the flux of the cell above — one-sided
+    `ϕuL`/`ϕuR` at physical boundaries, wrapped `ϕuP` for periodic dirs, the
+    ring-fetched neighbor values at subdomain boundaries.  The flux difference
+    ``r_i = Σ_j Φ − Φ(+e_j)`` accumulates the RHS; ghost values of ``r`` are
+    garbage but never read (BDIM updates the interior).
 
-    * physical low/high boundary: the reference's one-sided `ϕuL`/`ϕuR`
-      (`Flow.jl:56-57`),
-    * periodic: the wrapped `ϕuP` second-upwind value and the wrapped top flux
-      (`Flow.jl:60-62`) — which is exactly what the ring halo fetch returns,
-    * subdomain boundary (distributed): the ring fetch brings the neighbor's
-      second-upwind slab and its first flux plane.
-
-    The flux difference ``r_i = Σ_j Φ − Φ(+e_j)`` accumulates the RHS; ghost
-    values of ``r`` are garbage but never read (BDIM updates the interior).
+    3D single-device fields route the generic part through the fused Pallas
+    kernel (`ops.pallas3d`) and add the slab corrections on top.
     """
+    from ..ops import pallas3d as pl3
+
     D = u.shape[0]
+    if D == 3 and pl3.use_pallas(u[0], ctx):
+        return _conv_diff_pallas(u, scheme, nu, perdir)
     out = []
     for i in range(D):
         f = u[i]
         ri = jnp.zeros_like(f)
         for j in range(D):
             n = f.shape[j]
-            per = j in perdir
             uadv = 0.5 * (u[j] + shift(u[j], i, -1))
             up = scheme(shift(f, j, -2), shift(f, j, -1), f)
             dn = scheme(shift(f, j, 1), f, shift(f, j, -1))
             phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - shift(f, j, -1))
-
-            lo, hi = _slab_ix(j, 1), _slab_ix(j, n - 1)
-            f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
-            ua = uadv[lo]
-            # second-upwind value for the first interior slab: ring fetch
-            # (self-wrap when unsharded == the periodic ϕuP index n-3)
-            f_mm = fetch_lo(ctx, f, j, j, n - 3) if (ctx is not None and sharded(ctx, j)) \
-                else f[_slab_ix(j, n - 3)]
-            phi_gen = (ua * jnp.where(ua > 0, scheme(f_mm, f0, f1), scheme(f2, f1, f0))
-                       - nu * (f1 - f0))
-            if per:
-                phi_lo = phi_gen
-            else:
-                phi_l = (ua * jnp.where(ua > 0, 0.5 * (f1 + f0), scheme(f2, f1, f0))
-                         - nu * (f1 - f0))
-                if ctx is not None and sharded(ctx, j):
-                    phi_lo = jnp.where(edge_lo(ctx, j), phi_l, phi_gen)
-                else:
-                    phi_lo = phi_l
-            phi = phi.at[lo].set(phi_lo)
-
-            # top ghost slab: neighbor's first flux plane (ring) or ϕuR at the
-            # physical high boundary
-            if ctx is not None and sharded(ctx, j):
-                phi_wrap = fetch_hi(ctx, phi, j, j, 1)
-            else:
-                phi_wrap = phi[lo]
-            if per:
-                phi_hi = phi_wrap
-            else:
-                fm1, fm2, fm3 = f[hi], f[_slab_ix(j, n - 2)], f[_slab_ix(j, n - 3)]
-                ua_h = uadv[hi]
-                phi_r = (ua_h * jnp.where(ua_h < 0, 0.5 * (fm1 + fm2), scheme(fm3, fm2, fm1))
-                         - nu * (fm1 - fm2))
-                if ctx is not None and sharded(ctx, j):
-                    phi_hi = jnp.where(edge_hi(ctx, j), phi_r, phi_wrap)
-                else:
-                    phi_hi = phi_r
-            phi = phi.at[hi].set(phi_hi)
+            phi_lo, _, phi_hi, _ = _phi_slabs(u, f, i, j, scheme, nu, perdir, ctx)
+            jdx = jax.lax.broadcasted_iota(jnp.int32, f.shape, j)
+            phi = jnp.where(jdx == 1, phi_lo,
+                            jnp.where(jdx == n - 1, phi_hi, phi))
             ri = ri + (phi - shift(phi, j, 1))
         out.append(ri)
+    return jnp.stack(out)
+
+
+def _conv_diff_pallas(u: jax.Array, scheme: Callable, nu,
+                      perdir: tuple[int, ...]):
+    """Fused-kernel path: generic RHS from `conv_diff3d_generic`, slab-flux
+    corrections (`r(1) += Δφ(1)``, ``r(n-2) -= Δφ(n-1)`` per direction) and
+    ghost zeroing composed in one additional elementwise pass."""
+    from ..ops import pallas3d as pl3
+
+    D = u.shape[0]
+    r = pl3.conv_diff3d_generic(u, nu, scheme)
+    shape = u.shape[1:]
+    out = []
+    for i in range(D):
+        ri = r[i]
+        corr = jnp.zeros((), u.dtype)
+        for j in range(D):
+            n = shape[j]
+            phi_lo, gen_lo, phi_hi, gen_hi = _phi_slabs(
+                u, u[i], i, j, scheme, nu, perdir, None)
+            jdx = jax.lax.broadcasted_iota(jnp.int32, shape, j)
+            corr = corr + jnp.where(jdx == 1, phi_lo - gen_lo, 0.0) \
+                        - jnp.where(jdx == n - 2, phi_hi - gen_hi, 0.0)
+        # zero the x/y ghost rows the kernel never writes (uninitialized)
+        g = None
+        for dd, nn in ((0, shape[0]), (1, shape[1])):
+            idx = jax.lax.broadcasted_iota(jnp.int32, shape, dd)
+            gd = (idx == 0) | (idx == nn - 1)
+            g = gd if g is None else (g | gd)
+        out.append(jnp.where(g, 0.0, ri + corr))
     return jnp.stack(out)
 
 

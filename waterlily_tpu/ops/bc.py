@@ -73,16 +73,18 @@ def bc_vector(u: jax.Array, ubc, t=0.0, save_exit: bool = False,
         Ui = bc_field(ubc, i, shape, t, u.dtype, off)
         for j in range(D):
             n = shape[j]
+            set_one = False
+            one = None
             if ctx is not None and sharded(ctx, j):
                 lo_h = fetch_lo(ctx, ui, j, j, n - 2)
                 hi_h = fetch_hi(ctx, ui, j, j, 1)
                 if j in perdir:
                     lo, hi = lo_h, hi_h
-                    one = slab(ui, j, 1)
                 elif i == j:
                     lo = jnp.where(edge_lo(ctx, j), _broadcast_slab(Ui, ui, j, 0), lo_h)
                     one = jnp.where(edge_lo(ctx, j), _broadcast_slab(Ui, ui, j, 1),
                                     slab(ui, j, 1))
+                    set_one = True
                     if save_exit and i == 0:
                         hi = jnp.where(edge_hi(ctx, j), slab(ui, j, n - 1), hi_h)
                     else:
@@ -96,29 +98,32 @@ def bc_vector(u: jax.Array, ubc, t=0.0, save_exit: bool = False,
                         hi_bc = slab(ui, j, n - 2)
                     lo = jnp.where(edge_lo(ctx, j), lo_bc, lo_h)
                     hi = jnp.where(edge_hi(ctx, j), hi_bc, hi_h)
-                    one = slab(ui, j, 1)
-                ui = set_slab(ui, j, 0, lo)
-                if i == j and j not in perdir:
-                    ui = set_slab(ui, j, 1, one)
-                ui = set_slab(ui, j, -1, hi)
             elif j in perdir:
-                ui = set_slab(ui, j, 0, slab(ui, j, n - 2))
-                ui = set_slab(ui, j, -1, slab(ui, j, 1))
+                lo = slab(ui, j, n - 2)
+                hi = slab(ui, j, 1)
             elif i == j:  # normal component: Dirichlet
-                ui = set_slab(ui, j, 0, _broadcast_slab(Ui, ui, j, 0))
-                ui = set_slab(ui, j, 1, _broadcast_slab(Ui, ui, j, 1))
-                if not (save_exit and i == 0):  # keep exit plane for exitBC
-                    ui = set_slab(ui, j, -1, _broadcast_slab(Ui, ui, j, -1))
+                lo = _broadcast_slab(Ui, ui, j, 0)
+                one = _broadcast_slab(Ui, ui, j, 1)
+                set_one = True
+                if save_exit and i == 0:   # keep exit plane for exitBC
+                    hi = slab(ui, j, n - 1)
+                else:
+                    hi = _broadcast_slab(Ui, ui, j, -1)
             else:  # tangential: u_g = U_g + (u - U)|neighbor
                 if callable(ubc):
                     lo = _broadcast_slab(Ui, ui, j, 0) + slab(ui, j, 1) - _broadcast_slab(Ui, ui, j, 1)
                     hi = _broadcast_slab(Ui, ui, j, -1) + slab(ui, j, n - 2) - _broadcast_slab(Ui, ui, j, n - 2)
-                else:  # constant spec: U_g - U_n == 0 exactly (reference's
+                else:  # constant spec: U_g - U_n == 0 exactly (the reference's
                     #  @fastmath reassociates this cancellation too)
                     lo = slab(ui, j, 1)
                     hi = slab(ui, j, n - 2)
-                ui = set_slab(ui, j, 0, lo)
-                ui = set_slab(ui, j, -1, hi)
+            # compose with broadcasted index selects: the whole (i, j) chain
+            # fuses into a single read-modify-write pass (a set_slab chain
+            # materializes a full copy per slab on TPU)
+            jdx = jax.lax.broadcasted_iota(jnp.int32, ui.shape, j)
+            ui = jnp.where(jdx == 0, lo, jnp.where(jdx == n - 1, hi, ui))
+            if set_one:
+                ui = jnp.where(jdx == 1, one, ui)
         u = u.at[i].set(ui)
     return u
 

@@ -261,7 +261,9 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
 
     def cond(c):
         x, r, r1, rinf, omega, n, stats = c
-        return (n < itmx) & ~((r1 < r1tol) & (rinf < rinf_tol))
+        # do-while: the reference always runs the first V-cycle before
+        # testing convergence (`MultiLevelPoisson.jl:113-124`)
+        return (n < itmx) & ((n == 0) | ~((r1 < r1tol) & (rinf < rinf_tol)))
 
     def body(c):
         x, r, r1, rinf, omega, n, stats = c

@@ -41,8 +41,15 @@ class PoissonLevel(NamedTuple):
 
 
 def _zero_ghost(a: jax.Array) -> jax.Array:
-    """Zero the ghost layer of a scalar field (slice + pad; fused by XLA)."""
-    return grow(interior(a))
+    """Zero the ghost layer of a scalar field.  Implemented as an iota-mask
+    multiply so XLA fuses it into the producing stencil loop (a slice+pad
+    would materialize an intermediate)."""
+    m = None
+    for d in range(a.ndim):
+        i = jax.lax.broadcasted_iota(jnp.int32, a.shape, d)
+        md = (i > 0) & (i < a.shape[d] - 1)
+        m = md if m is None else (m & md)
+    return jnp.where(m, a, 0.0)
 
 
 def set_diag(L: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -61,9 +68,14 @@ def make_level(L: jax.Array) -> PoissonLevel:
     return PoissonLevel(L, d, iD)
 
 
-def _mult_raw(p: PoissonLevel, x: jax.Array) -> jax.Array:
+def _mult_raw(p: PoissonLevel, x: jax.Array, ctx=None) -> jax.Array:
     """A·x on the interior assuming ghosts of ``x`` are already consistent
-    (`mult`, `Poisson.jl:70-76`)."""
+    (`mult`, `Poisson.jl:70-76`).  Routes big 3D single-device fields through
+    the fused Pallas kernel."""
+    from . import pallas3d as pl3
+
+    if x.ndim == 3 and pl3.use_pallas(x, ctx):
+        return pl3.mult3d(x, p.L, p.D)
     s = x * p.D
     for i in range(p.L.shape[0]):
         s = s + shift(x, i, -1) * p.L[i] + shift(x, i, 1) * shift(p.L[i], i, 1)
@@ -74,7 +86,7 @@ def mult(p: PoissonLevel, x: jax.Array, perdir: tuple[int, ...] = (),
          ctx=None) -> jax.Array:
     """A·x with periodic/halo ghosts refreshed first (`mult!`,
     `Poisson.jl:63-68`).  Ghost entries of the result are zero."""
-    return _mult_raw(p, sync_scalar(x, ctx, perdir))
+    return _mult_raw(p, sync_scalar(x, ctx, perdir), ctx)
 
 
 def residual(p: PoissonLevel, x: jax.Array, z: jax.Array,
@@ -100,7 +112,7 @@ def increment(p: PoissonLevel, x: jax.Array, r: jax.Array, eps: jax.Array,
     """x += ω·eps, r -= ω·A·eps on the interior (`increment!`,
     `Poisson.jl:100-104`)."""
     eps = sync_scalar(eps, ctx, perdir)
-    r = r - omega * _mult_raw(p, eps)
+    r = r - omega * _mult_raw(p, eps, ctx)
     x = x + omega * _zero_ghost(eps)
     return x, r
 
@@ -132,8 +144,18 @@ def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
     checkerboard-masked whole-array update — embarrassingly parallel by
     construction, which is why the reference chose RB in the first place.
     """
+    from . import pallas3d as pl3
+
     eps = sync_scalar(_zero_ghost(r * p.iD), ctx, perdir)
     Dim = p.L.shape[0]
+    if Dim == 3 and pl3.use_pallas(x, ctx):
+        # fused sweep kernel: update cells of index-sum parity ``color``
+        for k0 in range(1, it + 1):
+            color = (1 - Dim - k0) % 2
+            eps = pl3.gauss_sweep3d(eps, r, p.L, p.iD, color)
+            if k0 < it:
+                eps = sync_scalar(eps, ctx, perdir)
+        return increment(p, x, r, eps, omega, perdir, ctx)
     parity = index_sum_parity(x.shape)           # sum of 0-based indices % 2
     pshift = parity_shift(ctx, x.shape)          # global checkerboard offset
     inside = _inside_ones(x) > 0
@@ -172,7 +194,7 @@ def pcg(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 6,
     def body(c):
         x, r, eps, rho, i, _ = c
         epsb = sync_scalar(eps, ctx, perdir)
-        zz = _mult_raw(p, epsb)
+        zz = _mult_raw(p, epsb, ctx)
         alpha = rho / psum_all(_pdot(zz, epsb), ctx)
         bad = (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)  # alpha ~ O(1)
         a = jnp.where(bad, 0.0, alpha)
@@ -219,7 +241,8 @@ def solve(p: PoissonLevel, x: jax.Array, z: jax.Array, tol: float = 2e-3,
 
     def cond(c):
         x, r, r1, rinf, n, stats = c
-        return (n < itmx) & ~((r1 < r1tol) & (rinf < rinf_tol))
+        # do-while like the reference `solver!` (`Poisson.jl:215-221`)
+        return (n < itmx) & ((n == 0) | ~((r1 < r1tol) & (rinf < rinf_tol)))
 
     def body(c):
         x, r, r1, rinf, n, stats = c
