@@ -145,10 +145,18 @@ def _phi_slabs(u, f, i, j, scheme, nu, perdir, ctx):
     with extent 1)."""
     n = f.shape[j]
     per = j in perdir
-    uadv = 0.5 * (u[j] + shift(u[j], i, -1))
     lo, hi = _slab_ix(j, 1), _slab_ix(j, n - 1)
+
+    def uadv_slab(sl):
+        # slab-local advecting velocity: shift dim i commutes with the dim-j
+        # slab when i != j; for i == j the shifted slab is the slab below
+        if i == j:
+            idx = sl[j].start
+            return 0.5 * (u[j][sl] + u[j][_slab_ix(j, idx - 1)])
+        return 0.5 * (u[j][sl] + shift(u[j][sl], i, -1))
+
     f0, f1, f2 = f[_slab_ix(j, 0)], f[lo], f[_slab_ix(j, 2)]
-    ua = uadv[lo]
+    ua = uadv_slab(lo)
     # second-upwind value for the first interior slab: ring fetch
     # (self-wrap when unsharded == the periodic ϕuP index n-3)
     f_mm = fetch_lo(ctx, f, j, j, n - 3) if (ctx is not None and sharded(ctx, j)) \
@@ -173,7 +181,7 @@ def _phi_slabs(u, f, i, j, scheme, nu, perdir, ctx):
     # top ghost slab: neighbor's first flux plane (ring) or ϕuR at the
     # physical high boundary
     fm1, fm2, fm3 = f[hi], f[_slab_ix(j, n - 2)], f[_slab_ix(j, n - 3)]
-    ua_h = uadv[hi]
+    ua_h = uadv_slab(hi)
     phi_gen_hi = (ua_h * jnp.where(ua_h > 0, scheme(fm3, fm2, fm1),
                                    scheme(f0, fm1, fm2))
                   - nu * (fm1 - fm2))

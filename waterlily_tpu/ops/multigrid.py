@@ -280,6 +280,22 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
             stats, jnp.stack([rinf, rnew, omega])[None], (n, jnp.asarray(0, n.dtype)))
         return (x, r, rnew, rinf, omega, n, stats)
 
-    x, r, r1, rinf, omega, n, stats = jax.lax.while_loop(
-        cond, body, (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats))
+    from . import pallas3d as pl3
+
+    carry = (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats)
+    # Unrolled cond-guarded iterations: identical do-while semantics, but the
+    # Pallas smoother kernels stay enabled (inside `lax.while_loop` custom
+    # calls de-pipeline ~15x on the tunneled backend; `lax.cond` is free and
+    # skips converged iterations).  The unroll only pays off when the fine
+    # level actually uses the kernels; otherwise keep the compact while_loop.
+    unroll = min(itmx, 8) if pl3.use_pallas(x, ctx if n_dist > 0 else None) else 0
+    for _ in range(unroll):
+        carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
+    if itmx > unroll:
+        pl3._IN_LOOP = True   # trace-time: jnp path inside the tail loop
+        try:
+            carry = jax.lax.while_loop(cond, body, carry)
+        finally:
+            pl3._IN_LOOP = False
+    x, r, r1, rinf, omega, n, stats = carry
     return MGSolveResult(sync_scalar(x, fine_ctx, perdir), r, n, stats)

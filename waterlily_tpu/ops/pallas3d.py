@@ -28,16 +28,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["use_pallas", "conv_diff3d_generic", "gauss_sweep3d", "mult3d"]
+__all__ = ["use_pallas", "conv_diff3d_generic", "gauss_sweep3d", "gauss_sweeps3d", "mult3d"]
 
 _BLK = 32    # x/y rows per output block
 _INTERPRET = False   # set True to run kernels in interpreter mode (tests)
+_IN_LOOP = False     # trace-time flag: inside a lax.while_loop body, pallas
+                     # custom calls de-pipeline catastrophically on the
+                     # tunneled backend (measured 15x), so the gate disables
+                     # them there
 
 
 def use_pallas(a: jax.Array, ctx=None) -> bool:
     """Pallas gate: big 3D f32 fields, single device, TPU backend; disable
     with WLTPU_PALLAS=0."""
     if os.environ.get("WLTPU_PALLAS", "1") == "0":
+        return False
+    if _IN_LOOP:
         return False
     if ctx is not None:
         return False
@@ -220,37 +226,64 @@ def conv_diff3d_generic(u: jax.Array, nu, scheme: Callable) -> jax.Array:
     return jnp.stack(r)[:, :, :Ny, :Nz]
 
 
+def gauss_sweeps3d(eps: jax.Array, r: jax.Array, L: jax.Array, iD: jax.Array,
+                   colors, perdir: tuple[int, ...] = ()) -> jax.Array:
+    """Run a sequence of red-black Gauss-Seidel color sweeps
+    (`gauss`/`gauss_rb`, `Poisson.jl:116-132`): per sweep,
+    eps[cells with index-sum parity == color] = (r − Σ L-weighted
+    neighbors)·iD on the interior; everything else keeps its value.
+
+    All arrays are tail-padded once and stay padded across the sweeps (the
+    periodic ghost refresh between sweeps runs on the real slab indices).
+    """
+    Nx, Ny, Nz = eps.shape
+    eps_p, r_p, iD_p = _pad_tail(eps), _pad_tail(r), _pad_tail(iD)
+    L_p = _pad_tail(L)
+    shape = eps_p.shape
+
+    def make_body(color):
+        def body(win, scalars, xs):
+            e, rr, l0, l1, l2, idw = win
+            Ls = (l0, l1, l2)
+            s = rr
+            for d in range(3):
+                s = s - (_wshift(e, d, -1) * Ls[d] + _wshift(e, d, 1) * _wshift(Ls[d], d, 1))
+            s = s * idw
+            par = (jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+                   + jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+                   + jax.lax.broadcasted_iota(jnp.int32, e.shape, 2)
+                   + xs)
+            ydx = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+            zdx = jax.lax.broadcasted_iota(jnp.int32, e.shape, 2)
+            mask = ((par % 2) == (color % 2)) & (zdx >= 1) & (zdx <= Nz - 2) \
+                   & (ydx >= 1) & (ydx <= Ny - 2)
+            return [jnp.where(mask, s, e)[1:-1]]
+        return body
+
+    ghost_lo, ghost_hi = eps_p[0:1], eps_p[-1:]
+    for k, color in enumerate(colors):
+        call = _halo_map(make_body(int(color)), 6, 0, 1, shape, h=1, bx=2)
+        eps_p = call(eps_p, r_p, L_p[0], L_p[1], L_p[2], iD_p)[0]
+        # the kernel never writes the x-ghost rows: restore them (the raw
+        # output rows are uninitialized device memory — even multiplied by a
+        # zero face coefficient a NaN would poison the stencil)
+        eps_p = eps_p.at[0:1].set(ghost_lo).at[-1:].set(ghost_hi)
+        if k + 1 < len(colors) and perdir:
+            for j in perdir:   # periodic ghost refresh at the REAL slabs
+                n = (Nx, Ny, Nz)[j]
+                sl0 = (slice(None),) * j + (slice(0, 1),)
+                sl1 = (slice(None),) * j + (slice(1, 2),)
+                slm = (slice(None),) * j + (slice(n - 2, n - 1),)
+                slg = (slice(None),) * j + (slice(n - 1, n),)
+                eps_p = eps_p.at[sl0].set(eps_p[slm])
+                eps_p = eps_p.at[slg].set(eps_p[sl1])
+    return eps_p[:, :Ny, :Nz]
+
+
 def gauss_sweep3d(eps: jax.Array, r: jax.Array, L: jax.Array, iD: jax.Array,
                   color: int) -> jax.Array:
-    """One red-black Gauss-Seidel color sweep (`gauss`/`gauss_rb`,
-    `Poisson.jl:116-132`): eps[colored interior] = (r − Σ L-weighted
-    neighbors)·iD on x/y rows [1, N−1) and z interior; everything else keeps
-    its input value.  ``color``: cells with index-sum parity == color."""
-    Ny, Nz = eps.shape[1], eps.shape[2]
-    eps, r, iD = _pad_tail(eps), _pad_tail(r), _pad_tail(iD)
-    L = _pad_tail(L)
-    shape = eps.shape
-
-    def body(win, scalars, xs):
-        e, rr, l0, l1, l2, idw = win
-        Ls = (l0, l1, l2)
-        s = rr
-        for d in range(3):
-            s = s - (_wshift(e, d, -1) * Ls[d] + _wshift(e, d, 1) * _wshift(Ls[d], d, 1))
-        s = s * idw
-        par = (jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
-               + jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-               + jax.lax.broadcasted_iota(jnp.int32, e.shape, 2)
-               + xs)
-        ydx = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-        zdx = jax.lax.broadcasted_iota(jnp.int32, e.shape, 2)
-        mask = ((par % 2) == (color % 2)) & (zdx >= 1) & (zdx <= Nz - 2) \
-               & (ydx >= 1) & (ydx <= Ny - 2)
-        out = jnp.where(mask, s, e)
-        return [out[1:-1]]
-
-    call = _halo_map(body, 6, 0, 1, shape, h=1, bx=2)
-    return call(eps, r, L[0], L[1], L[2], iD)[0][:, :Ny, :Nz]
+    """Single color sweep (see `gauss_sweeps3d`)."""
+    return gauss_sweeps3d(eps, r, L, iD, [color])
 
 
 def mult3d(x: jax.Array, L: jax.Array, D: jax.Array) -> jax.Array:
@@ -273,4 +306,8 @@ def mult3d(x: jax.Array, L: jax.Array, D: jax.Array) -> jax.Array:
         return [s[1:-1]]
 
     call = _halo_map(body, 5, 0, 1, shape, h=1, bx=2)
-    return call(x, L[0], L[1], L[2], D)[0][:, :Ny, :Nz]
+    out = call(x, L[0], L[1], L[2], D)[0]
+    # zero the unwritten x-ghost rows (uninitialized memory otherwise)
+    zrow = jnp.zeros_like(out[0:1])
+    out = out.at[0:1].set(zrow).at[-1:].set(zrow)
+    return out[:, :Ny, :Nz]

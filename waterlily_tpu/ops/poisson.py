@@ -149,12 +149,9 @@ def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
     eps = sync_scalar(_zero_ghost(r * p.iD), ctx, perdir)
     Dim = p.L.shape[0]
     if Dim == 3 and pl3.use_pallas(x, ctx):
-        # fused sweep kernel: update cells of index-sum parity ``color``
-        for k0 in range(1, it + 1):
-            color = (1 - Dim - k0) % 2
-            eps = pl3.gauss_sweep3d(eps, r, p.L, p.iD, color)
-            if k0 < it:
-                eps = sync_scalar(eps, ctx, perdir)
+        # fused sweep kernels; arrays stay tail-padded across the sweeps
+        colors = [(1 - Dim - k0) % 2 for k0 in range(1, it + 1)]
+        eps = pl3.gauss_sweeps3d(eps, r, p.L, p.iD, colors, perdir)
         return increment(p, x, r, eps, omega, perdir, ctx)
     parity = index_sum_parity(x.shape)           # sum of 0-based indices % 2
     pshift = parity_shift(ctx, x.shape)          # global checkerboard offset
