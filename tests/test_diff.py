@@ -93,7 +93,10 @@ def _spin_lift(xi, nsteps=12):
 
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum(x**2)) - R,
                     lambda x, t: rot(xi * U * t / R) @ (x - C))
-    flow = fl.Flow((2 * D, 2 * D), (U, 0.0), nu=U * D / Re, dtype=F64)
+    # tight solver tolerance: forward-mode tangents through the iterative
+    # solver are accurate to the solve tolerance (lagged-tangent effect)
+    flow = fl.Flow((2 * D, 2 * D), (U, 0.0), nu=U * D / Re, dtype=F64,
+                   tol=1e-6, itmx=64)
     V, mu0, mu1, _ = measure_fill(body, flow.cfg.shape, 0.0, 1.0, F64)
     import dataclasses
     state = dataclasses.replace(flow.state, V=V, mu0=mu0, mu1=mu1)
@@ -128,7 +131,8 @@ def _rot_psum(theta, nsteps=2):
 
     body = AutoBody(lambda xi, t: plate_sdf(
         jnp.asarray([[c, -s], [s, c]]) @ (xi - L), t))
-    flow = fl.Flow((2 * L, 2 * L), (U, 0.0), nu=U * L / Re, dtype=F64)
+    flow = fl.Flow((2 * L, 2 * L), (U, 0.0), nu=U * L / Re, dtype=F64,
+                   tol=1e-6, itmx=64)
     levels, masks = mg.make_mg(flow.state.mu0)
     state = flow.state
     dt = jnp.asarray(0.25, F64)

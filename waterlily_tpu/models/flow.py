@@ -315,9 +315,13 @@ def bdim_update(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
     The μ1·∇f* gradient reads the halos of f*, so they are ring-refreshed
     under decomposition (bodies straddling shard boundaries).
     """
+    from ..ops import pallas3d as pl3
+
     D = u.shape[0]
     fp = u0 + dt * f - V
     fp = sync_vector(fp, ctx)
+    if D == 3 and pl3.use_pallas(u[0], ctx):
+        return pl3.bdim3d(u, fp, V, mu0, mu1)
     terms = []
     for i in range(D):
         mu_ddn = jnp.zeros_like(fp[i])

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["use_pallas", "conv_diff3d_generic", "gauss_sweep3d", "gauss_sweeps3d", "mult3d"]
+__all__ = ["use_pallas", "conv_diff3d_generic", "gauss_sweep3d", "gauss_sweeps3d", "mult3d", "bdim3d", "gs_incr3d", "jacobi_incr3d"]
 
 _BLK = 32    # x/y rows per output block
 _INTERPRET = False   # set True to run kernels in interpreter mode (tests)
@@ -104,20 +104,23 @@ def _pad_tail(a: jax.Array, wrap: bool = False) -> jax.Array:
 
 def _halo_map(body: Callable, n_win: int, n_scalar: int, n_out: int,
               shape, h: int, out_shape=None, out_shift: int = 0,
-              bx: int = 4):
+              bx: int = 4, halos=None):
     """Run ``body(win_list, scalars, xs) -> out_list`` over x-row halo
     windows with the full (y, z) extent resident.
 
-    ``win_list[k]``: (bx+2h, Ny, Nz) arrays; ``scalars``: SMEM values;
-    ``xs``: window start (for global parity).  Outputs must be
-    (bx, Ny, Nz), written at row ``xs+h+out_shift`` (the ``out_shift`` maps a
-    wrap-extended input grid back onto the original one).
+    ``win_list[k]``: (bx+2*halos[k], Ny, Nz) arrays; ``scalars``: SMEM values;
+    ``xs``: window start (for global parity).  ``halos`` gives a per-input
+    halo depth (default ``h`` everywhere); inputs that are only read at the
+    output rows can use 0.  Outputs must be (bx, Ny, Nz), written at row
+    ``xs+h+out_shift`` (the ``out_shift`` maps a wrap-extended input grid back
+    onto the original one).
     """
     Nx, Ny, Nz = shape
     out_shape = out_shape or shape
     bx = min(bx, Nx - 2 * h)
     wx = bx + 2 * h
     nbx = _nblocks(Nx - 2 * h, bx)
+    halos = list(halos) if halos is not None else [h] * n_win
 
     def kernel(*refs):
         scal = refs[:n_scalar]
@@ -132,7 +135,8 @@ def _halo_map(body: Callable, n_win: int, n_scalar: int, n_out: int,
         xs = jnp.minimum(h + ix * bx, Nx - h - bx) - h
 
         in_copies = [pltpu.make_async_copy(
-            ins[k].at[pl.ds(xs, wx)], win[k], sem_in.at[k])
+            ins[k].at[pl.ds(xs + h - halos[k], bx + 2 * halos[k])],
+            win[k], sem_in.at[k])
             for k in range(n_win)]
         for c in in_copies:
             c.start()
@@ -163,14 +167,93 @@ def _halo_map(body: Callable, n_win: int, n_scalar: int, n_out: int,
             out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
                             for _ in range(n_out)),
             out_shape=out_shapes,
-            scratch_shapes=([pltpu.VMEM((wx, Ny, Nz), jnp.float32)
-                             for _ in range(n_win)]
+            scratch_shapes=([pltpu.VMEM((bx + 2 * halos[k], Ny, Nz), jnp.float32)
+                             for k in range(n_win)]
                             + [pltpu.VMEM((bx, Ny, Nz), jnp.float32)
                                for _ in range(n_out)]
                             + [pltpu.SemaphoreType.DMA((n_win,)),
                                pltpu.SemaphoreType.DMA((n_out,))]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_INTERPRET,
+        )(*arrays)
+        return list(outs) if isinstance(outs, (tuple, list)) else [outs]
+
+    return call
+
+
+def _halo_map_all(body: Callable, n_win: int, n_scalar: int, n_out: int,
+                  shape, h: int, bx: int = 4, halos=None):
+    """Like `_halo_map`, but covers ALL interior rows [1, Nx-1): window starts
+    clamp into the array and the body receives the dynamic center offset
+    ``co`` (output rows = window rows [co, co+bx)) plus the raw VMEM refs so
+    it can do dynamic-offset reads.  ``body(win_refs, scalars, xs, co) ->
+    out_list`` with outputs (bx, Ny, Nz) written at row ``xs + co``.
+    """
+    Nx, Ny, Nz = shape
+    n_cov = Nx - 2
+    bx = min(bx, n_cov)
+    wx = bx + 2 * h
+    if wx > Nx:
+        wx = Nx
+    nbx = _nblocks(n_cov, bx)
+    halos = list(halos) if halos is not None else [h] * n_win
+
+    def kernel(*refs):
+        scal = refs[:n_scalar]
+        ins = refs[n_scalar:n_scalar + n_win]
+        outs = refs[n_scalar + n_win:n_scalar + n_win + n_out]
+        k0 = n_scalar + n_win + n_out
+        win = refs[k0:k0 + n_win]
+        obuf = refs[k0 + n_win:k0 + n_win + n_out]
+        sem_in = refs[-2]
+        sem_out = refs[-1]
+        ix = pl.program_id(0)
+        ox = jnp.minimum(1 + ix * bx, Nx - 1 - bx)       # output start row
+        in_copies = []
+        cos = []
+        for k in range(n_win):
+            wk = bx + 2 * halos[k] if bx + 2 * halos[k] <= Nx else Nx
+            ws = jnp.clip(ox - halos[k], 0, Nx - wk)
+            cos.append(ox - ws)
+            in_copies.append(pltpu.make_async_copy(
+                ins[k].at[pl.ds(ws, wk)], win[k], sem_in.at[k]))
+        for c in in_copies:
+            c.start()
+        for c in in_copies:
+            c.wait()
+        scalars = [sc[0, 0] for sc in scal]
+        results = body(win, scalars, ox, cos)
+        out_copies = []
+        for k in range(n_out):
+            obuf[k][:] = results[k]
+            c = pltpu.make_async_copy(
+                obuf[k], outs[k].at[pl.ds(ox, bx)], sem_out.at[k])
+            c.start()
+            out_copies.append(c)
+        for c in out_copies:
+            c.wait()
+
+    out_shapes = tuple(jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
+                       for _ in range(n_out))
+
+    def call(*arrays):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nbx,),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar
+                      + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_win),
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                            for _ in range(n_out)),
+            out_shape=out_shapes,
+            scratch_shapes=([pltpu.VMEM((min(bx + 2 * halos[k], Nx), Ny, Nz),
+                                        jnp.float32) for k in range(n_win)]
+                            + [pltpu.VMEM((bx, Ny, Nz), jnp.float32)
+                               for _ in range(n_out)]
+                            + [pltpu.SemaphoreType.DMA((n_win,)),
+                               pltpu.SemaphoreType.DMA((n_out,))]),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024),
             interpret=_INTERPRET,
         )(*arrays)
         return list(outs) if isinstance(outs, (tuple, list)) else [outs]
@@ -220,7 +303,7 @@ def conv_diff3d_generic(u: jax.Array, nu, scheme: Callable) -> jax.Array:
 
     out_shape = (shape[0],) + u_ext.shape[2:]
     call = _halo_map(body, 3, 1, 3, u_ext.shape[1:], h=2,
-                     out_shape=out_shape, out_shift=-1, bx=4)
+                     out_shape=out_shape, out_shift=-1, bx=8)
     nu1 = jnp.asarray(nu, jnp.float32).reshape(1, 1)
     r = call(nu1, u_ext[0], u_ext[1], u_ext[2])
     return jnp.stack(r)[:, :, :Ny, :Nz]
@@ -284,6 +367,138 @@ def gauss_sweep3d(eps: jax.Array, r: jax.Array, L: jax.Array, iD: jax.Array,
                   color: int) -> jax.Array:
     """Single color sweep (see `gauss_sweeps3d`)."""
     return gauss_sweeps3d(eps, r, L, iD, [color])
+
+
+def bdim3d(u: jax.Array, fp: jax.Array, V: jax.Array, mu0: jax.Array,
+           mu1: jax.Array) -> jax.Array:
+    """Fused BDIM update (`BDIM!`, `Flow.jl:176-180`) for one velocity
+    component ``i`` at a time:
+
+        u_i += 0.5·Σ_j mu1[i,j]·(fp_i(+e_j) − fp_i(−e_j)) + V_i + mu0_i·fp_i
+
+    on the interior (ghost faces untouched).  ``fp = u0 + dt·f − V`` is
+    precomputed (single fused elementwise pass)."""
+    D3, shape = u.shape[0], u.shape[1:]
+    Ny, Nz = shape[1], shape[2]
+    out = []
+    for i in range(D3):
+        ins = [_pad_tail(u[i]), _pad_tail(fp[i], wrap=True), _pad_tail(V[i]),
+               _pad_tail(mu0[i])] + [_pad_tail(mu1[i, j]) for j in range(D3)]
+        pshape = ins[0].shape
+
+        def body(win, scalars, xs):
+            ui, fpi, vi, m0, m10, m11, m12 = win
+            m1 = (m10, m11, m12)
+            # center rows of the halo-1 fp window
+            c = fpi[1:-1]
+            acc = jnp.zeros_like(ui)
+            for j in range(3):
+                if j == 0:
+                    dj = fpi[2:] - fpi[:-2]
+                else:
+                    dj = _wshift(c, j, 1) - _wshift(c, j, -1)
+                acc = acc + m1[j] * dj
+            upd = 0.5 * acc + vi + m0 * c
+            ydx = jax.lax.broadcasted_iota(jnp.int32, ui.shape, 1)
+            zdx = jax.lax.broadcasted_iota(jnp.int32, ui.shape, 2)
+            inside = (ydx >= 1) & (ydx <= Ny - 2) & (zdx >= 1) & (zdx <= Nz - 2)
+            return [jnp.where(inside, ui + upd, ui)]
+
+        call = _halo_map(body, 7, 0, 1, pshape, h=1, bx=4,
+                         halos=[0, 1, 0, 0, 0, 0, 0])
+        o = call(*ins)[0]
+        # x-ghost rows are never written: keep the input values there
+        o = o.at[0:1].set(ins[0][0:1]).at[-1:].set(ins[0][-1:])
+        out.append(o[:, :Ny, :Nz])
+    return jnp.stack(out)
+
+
+def gs_incr3d(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
+              iD: jax.Array, colors, omega) -> tuple[jax.Array, jax.Array]:
+    """Communication-avoiding fused red-black smoother + increment
+    (`GaussSeidelRB!` + `increment!`, `Poisson.jl:100-148`, non-periodic):
+
+        eps = (r · iD) with zero ghosts
+        for color in colors: eps[colored interior] = gauss(eps)
+        x += ω·eps;  r -= ω·A·eps        (interior)
+
+    One kernel pass: each x-block recomputes the sweep cascade inside its halo
+    (depth = n_sweeps + 1), so sweeps never need cross-block communication —
+    every block reproduces its neighbors' values exactly.  Near the physical
+    boundaries the cascade reads zero ghosts (face coefficients are zero
+    there), so clamped windows stay exact.
+    """
+    Nx, Ny, Nz = x.shape
+    it = len(colors)
+    h = it + 1
+    x_p, r_p, iD_p, D_p = _pad_tail(x), _pad_tail(r), _pad_tail(iD), _pad_tail(D)
+    L_p = _pad_tail(L)
+    shape = x_p.shape
+    omega = jnp.asarray(omega, jnp.float32).reshape(1, 1)
+    bx = 4
+
+    def body(win, scalars, ox, cos):
+        om = scalars[0]
+        xw, rw, idww, dw, l0w, l1w, l2w = win
+        rr, idw = rw[:], idww[:]
+        Ls = [l0w[:], l1w[:], l2w[:]]
+        co = cos[1]                       # halo inputs share one offset
+        gx = (jax.lax.broadcasted_iota(jnp.int32, rr.shape, 0) + ox - co)
+        ydx = jax.lax.broadcasted_iota(jnp.int32, rr.shape, 1)
+        zdx = jax.lax.broadcasted_iota(jnp.int32, rr.shape, 2)
+        inside = ((gx >= 1) & (gx <= Nx - 2) & (ydx >= 1) & (ydx <= Ny - 2)
+                  & (zdx >= 1) & (zdx <= Nz - 2))
+        par = gx + ydx + zdx
+        eps = jnp.where(inside, rr * idw, 0.0)
+        for color in colors:
+            sweep = rr
+            for d in range(3):
+                sweep = sweep - (_wshift(eps, d, -1) * Ls[d]
+                                 + _wshift(eps, d, 1) * _wshift(Ls[d], d, 1))
+            sweep = sweep * idw
+            eps = jnp.where(((par % 2) == (color % 2)) & inside, sweep, eps)
+        # increment on the center rows [co, co+bx): route eps through a
+        # scratch ref for the dynamic-offset reads
+        def inner(esc):
+            esc[:] = eps
+            e_c = esc[pl.ds(co, bx)]
+            e_m = esc[pl.ds(co - 1, bx)]
+            e_p = esc[pl.ds(co + 1, bx)]
+            lc = [Lk[pl.ds(co, bx)] for Lk in (l0w, l1w, l2w)]
+            l0p = l0w[pl.ds(co + 1, bx)]
+            aeps = e_c * dw[:]
+            aeps = aeps + e_m * lc[0] + e_p * l0p
+            for d in (1, 2):
+                aeps = aeps + (_wshift(e_c, d, -1) * lc[d]
+                               + _wshift(e_c, d, 1) * _wshift(lc[d], d, 1))
+            return e_c, aeps
+
+        e_c, aeps = pl.run_scoped(inner, pltpu.VMEM(rr.shape, jnp.float32))
+        # interior mask on the center rows
+        gxc = jax.lax.broadcasted_iota(jnp.int32, e_c.shape, 0) + ox
+        ydc = jax.lax.broadcasted_iota(jnp.int32, e_c.shape, 1)
+        zdc = jax.lax.broadcasted_iota(jnp.int32, e_c.shape, 2)
+        ins_c = ((gxc >= 1) & (gxc <= Nx - 2) & (ydc >= 1) & (ydc <= Ny - 2)
+                 & (zdc >= 1) & (zdc <= Nz - 2))
+        x_new = xw[:] + om * jnp.where(ins_c, e_c, 0.0)
+        r_new = rw[pl.ds(co, bx)] - om * jnp.where(ins_c, aeps, 0.0)
+        return [x_new, r_new]
+
+    call = _halo_map_all(body, 7, 1, 2, shape, h=h, bx=bx,
+                         halos=[0, h, h, 0, h, h, h])
+    xo, ro = call(omega, x_p, r_p, iD_p, D_p, L_p[0], L_p[1], L_p[2])
+    # unwritten x-ghost rows: x keeps its input ghosts, r ghosts are zero
+    xo = xo.at[0:1].set(x_p[0:1]).at[-1:].set(x_p[-1:])
+    zrow = jnp.zeros_like(ro[0:1])
+    ro = ro.at[0:1].set(zrow).at[-1:].set(zrow)
+    return xo[:, :Ny, :Nz], ro[:, :Ny, :Nz]
+
+
+def jacobi_incr3d(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
+                  iD: jax.Array, omega) -> tuple[jax.Array, jax.Array]:
+    """Fused Jacobi smoother (`Jacobi!` + `increment!`, `Poisson.jl:100-114`,
+    non-periodic): eps = r·iD (zero ghosts); x += ω·eps; r -= ω·A·eps."""
+    return gs_incr3d(x, r, L, D, iD, [], omega)
 
 
 def mult3d(x: jax.Array, L: jax.Array, D: jax.Array) -> jax.Array:

@@ -120,7 +120,12 @@ def increment(p: PoissonLevel, x: jax.Array, r: jax.Array, eps: jax.Array,
 def jacobi(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 1, omega=1.0,
            perdir: tuple[int, ...] = (), ctx=None):
     """Jacobi smoother (`Jacobi!`, `Poisson.jl:111-114`)."""
+    from . import pallas3d as pl3
+
     for _ in range(it):
+        if x.ndim == 3 and pl3.use_pallas(x, ctx) and not perdir:
+            x, r = pl3.jacobi_incr3d(x, r, p.L, p.D, p.iD, omega)
+            continue
         eps = _zero_ghost(r * p.iD)
         x, r = increment(p, x, r, eps, omega, perdir, ctx)
     return x, r
@@ -146,8 +151,12 @@ def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
     """
     from . import pallas3d as pl3
 
-    eps = sync_scalar(_zero_ghost(r * p.iD), ctx, perdir)
     Dim = p.L.shape[0]
+    if Dim == 3 and pl3.use_pallas(x, ctx) and not perdir:
+        # single communication-avoiding kernel: sweeps + increment fused
+        colors = [(1 - Dim - k0) % 2 for k0 in range(1, it + 1)]
+        return pl3.gs_incr3d(x, r, p.L, p.D, p.iD, colors, omega)
+    eps = sync_scalar(_zero_ghost(r * p.iD), ctx, perdir)
     if Dim == 3 and pl3.use_pallas(x, ctx):
         # fused sweep kernels; arrays stay tail-padded across the sweeps
         colors = [(1 - Dim - k0) % 2 for k0 in range(1, it + 1)]
