@@ -341,7 +341,7 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
     z = div_field(u)
     x = p * dt_w
     solver = solve_fn if solve_fn is not None else (
-        lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg(
+        lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg_implicit(
             lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir,
             ctx=ctx, n_dist=n_dist))
     res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)

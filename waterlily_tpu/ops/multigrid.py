@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from .bc import bc_vector, per_bc
-from .dist import (DistCtx, gather_scalar, global_inside_count, slice_local,
-                   sync_scalar)
+from .dist import (DistCtx, gather_scalar, global_inside_count, psum_all,
+                   slice_local, sync_scalar)
 from .grid import grow, interior
 from .poisson import (PoissonLevel, gauss_seidel_rb, jacobi, increment,
                       make_level, l1n_tol, norms, residual)
@@ -30,7 +30,7 @@ from .poisson import (PoissonLevel, gauss_seidel_rb, jacobi, increment,
 __all__ = [
     "divisible", "coarsen_mask", "coarse_shape", "level_shapes",
     "restrict", "prolongate", "restrict_L", "make_mg", "update_mg",
-    "v_cycle", "solve_mg", "MGSolveResult",
+    "v_cycle", "solve_mg", "solve_mg_implicit", "MGSolveResult",
 ]
 
 
@@ -298,4 +298,68 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
         finally:
             pl3._IN_LOOP = False
     x, r, r1, rinf, omega, n, stats = carry
+    # Gauge fix: the all-Neumann operator is singular (solution defined up to
+    # a constant); pin the interior mean to zero so the pressure
+    # representative is canonical.  The reference leaves the constant floating
+    # at whatever the warm-started iteration drifts to — physically
+    # equivalent (only ∇p enters the momentum equation) but algorithm-defined,
+    # which makes derivatives of mean-sensitive functionals (e.g. Σp,
+    # `test_forwarddiff.jl:58-78`) depend on iteration count; with a pinned
+    # gauge the implicit-JVP tangent (`solve_mg_implicit`) matches finite
+    # differences exactly.
+    from .poisson import _zero_ghost
+    n_in = global_inside_count(fine_ctx, x.shape)
+    xm = psum_all(jnp.sum(_zero_ghost(x)), fine_ctx) / n_in
+    x = x - xm * _zero_ghost(jnp.ones_like(x))
     return MGSolveResult(sync_scalar(x, fine_ctx, perdir), r, n, stats)
+
+
+def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
+                      tol: float = 2e-3, itmx: int = 32,
+                      perdir: tuple[int, ...] = (), smooth_it: int = 4,
+                      ctx=None, n_dist: int = 0) -> MGSolveResult:
+    """`solve_mg` with implicit forward-mode differentiation.
+
+    Differentiating *through* the iterative solver gives lagged tangents: the
+    `lax.while_loop` stops when the PRIMAL residual converges, so once warm
+    starts make the primal cheap (1-2 V-cycles per projection late in a run)
+    the tangent never catches up — measured 20% derivative error on the
+    spinning-cylinder lift test (`test_forwarddiff.jl:46-56`).  Here the JVP
+    rule is the exact implicit one: for ``A(L) x = z``,
+
+        A ẋ = ż − Ȧ(L̇) x
+
+    solved with the SAME multigrid solver/tolerance (coarse levels are
+    preconditioner-only, so only the fine-level tangent coefficients enter;
+    ``A`` is linear in ``L`` — including its diagonal — so ``Ȧ`` is just the
+    operator built from ``(L̇, Ḋ)``).  The tangent of the warm start is used
+    to warm-start the tangent solve but does not bias the result.
+    """
+    import numpy as np
+    from .poisson import _mult_raw
+    from .dist import sync_scalar as _sync
+
+    @jax.custom_jvp
+    def _solve(levels, x, z):
+        return solve_mg(levels, masks, x, z, tol=tol, itmx=itmx,
+                        perdir=perdir, smooth_it=smooth_it, ctx=ctx,
+                        n_dist=n_dist)
+
+    @_solve.defjvp
+    def _solve_jvp(primals, tangents):
+        levels, x0, z = primals
+        dlevels, dx0, dz = tangents
+        res = _solve(levels, x0, z)
+        fine, dfine = levels[0], dlevels[0]
+        fine_ctx = ctx if n_dist > 0 else None
+        xs = _sync(res.x, fine_ctx, perdir)
+        dA_x = _mult_raw(PoissonLevel(dfine.L, dfine.D, dfine.iD), xs, fine_ctx)
+        rhs = dz - dA_x
+        dres = solve_mg(levels, masks, dx0, rhs, tol=tol, itmx=itmx,
+                        perdir=perdir, smooth_it=smooth_it, ctx=ctx,
+                        n_dist=n_dist)
+        f0 = np.zeros(res.iters.shape, jax.dtypes.float0)
+        dout = MGSolveResult(dres.x, dres.r, f0, jnp.zeros_like(res.stats))
+        return res, dout
+
+    return _solve(levels, x, z)

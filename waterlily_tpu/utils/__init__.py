@@ -4,3 +4,5 @@ from .les import sgs, smagorinsky
 from .metrics import (MeanFlow, ke_field, lambda2_field, omega_field,
                       omega_mag_field, pressure_force, pressure_moment,
                       total_force, total_moment, viscous_force, viscous_moment)
+from .metrics import vorticity  # noqa: F401,E402
+from . import viz  # noqa: F401,E402

@@ -19,6 +19,7 @@ from ..ops.grid import grow, interior, loc_grid, shift
 __all__ = [
     "dudx", "ke_field", "lambda2_field", "curl_edge", "omega_field",
     "omega_mag_field", "omega_theta_field", "helicity_field", "strain_field",
+    "vorticity",
     "nds_field", "pressure_force", "viscous_force", "total_force",
     "pressure_moment", "viscous_moment", "total_moment", "MeanFlow",
 ]
@@ -92,6 +93,15 @@ def omega_mag_field(u: jax.Array) -> jax.Array:
     """|∇×u| (`ω_mag`, `Metrics.jl:84-86`)."""
     w = omega_field(u)
     return jnp.sqrt(jnp.sum(w**2, axis=0))
+
+
+def vorticity(u: jax.Array) -> jax.Array:
+    """Dimension-dispatching vorticity scalar: 2D → ∂v/∂x − ∂u/∂y at cell
+    centers; 3D → |∇×u| (the default plotted field of the reference viz
+    extensions, `ext/WaterLilyPlotsExt.jl:47`, `ext/WaterLilyMakieExt.jl:200`)."""
+    if u.shape[0] == 2:
+        return dudx(1, 0, u) - dudx(0, 1, u)
+    return omega_mag_field(u)
 
 
 def omega_theta_field(u: jax.Array, z, center) -> jax.Array:
