@@ -4,6 +4,9 @@ BASELINE.json north star: >= 1e9 cell-updates/s per chip at 256^3 with
 drag parity.  The reference's corresponding figure is 1.44 ns/DoF/step on a
 CUDA GPU (`/root/reference/README.md:109`), i.e. ~0.7e9 DoF/s.
 
+Runs the flat (x, y·z) layout engine (`models.flowflat` + `ops.pallas_flat`
+kernels) on TPU; set WLTPU_ENGINE=3d for the generic path.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env overrides: WLTPU_BENCH_N (cube size, default 256), WLTPU_BENCH_STEPS.
@@ -22,6 +25,7 @@ import jax.numpy as jnp
 def main():
     N = int(os.environ.get("WLTPU_BENCH_N", "256"))
     steps = int(os.environ.get("WLTPU_BENCH_STEPS", "10"))
+    engine = os.environ.get("WLTPU_ENGINE", "flat")
     from waterlily_tpu import AutoBody, Simulation
     from waterlily_tpu.models import flow as fl
 
@@ -29,25 +33,44 @@ def main():
     ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius)
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
-                     body=body, dtype=jnp.float32)
-    cfg, masks = sim.flow.cfg, sim.masks
-
-    def step(state, levels, dt, t0):
-        return fl.mom_step_impl(cfg, state, levels, masks, dt, t0)
-
-    step = jax.jit(step)
+                     body=body, dtype=jnp.float32,
+                     engine="auto" if engine == "flat" else "3d")
+    cfg = sim.flow.cfg
 
     # NOTE: on the tunneled backend `block_until_ready` does not actually
     # block; a 4-byte scalar fetch does.  Timing is slope-based: the fixed
-    # ~30ms tunnel round trip is subtracted via a 0-step baseline.
+    # tunnel round trip is subtracted via a 0-step baseline.
     probe = jax.jit(lambda st: st.u.reshape(-1)[0])
 
-    state, levels = sim.flow.state, sim.levels
     dt = jnp.asarray(sim.flow.dt[-1], cfg.dtype)
     t0 = jnp.asarray(0.0, cfg.dtype)
+    # NOTE: the solver stacks (fmg/levels) MUST be jit *arguments*, not
+    # closure captures — captured arrays are baked into the HLO as dense
+    # constants (hundreds of MB at 256^3), which breaks remote compilation.
+    if sim._flat is not None:
+        from waterlily_tpu.models import flowflat as ff
+
+        g = sim._flat["g"]
+        solver = sim._flat["fmg"]
+        state = sim._flat["state"]
+
+        def step(state, solver, dt, t0):
+            st, dt_n, it, _ = ff.mom_step_flat_impl(cfg, state, solver,
+                                                    sim.masks, g, dt, t0)
+            return st, dt_n, it
+    else:
+        solver, masks = sim.levels, sim.masks
+        state = sim.flow.state
+
+        def step(state, solver, dt, t0):
+            st, dt_n, it, _ = fl.mom_step_impl(cfg, state, solver, masks,
+                                               dt, t0)
+            return st, dt_n, it
+
+    step = jax.jit(step)
     # warmup: compile + 2 steps (lets dt settle to the CFL limit)
     for _ in range(2):
-        state, dt_n, _, _ = step(state, levels, dt, t0)
+        state, dt_n, _ = step(state, solver, dt, t0)
         t0 = t0 + dt
         dt = dt_n
     float(probe(state))
@@ -58,7 +81,7 @@ def main():
 
     t_start = time.perf_counter()
     for _ in range(steps):
-        state, dt_n, _, _ = step(state, levels, dt, t0)
+        state, dt_n, _ = step(state, solver, dt, t0)
         t0 = t0 + dt
         dt = dt_n
     float(probe(state))

@@ -108,19 +108,29 @@ def _spin_lift(xi, nsteps=12):
 
 
 def test_dlift_dspin():
+    # Tolerance note: the pointwise derivative of this functional carries
+    # ~±3% subgradient noise — the chain crosses kinks (upwind selects
+    # `uadv > 0` at BDIM-zeroed faces sitting at ±1e-16, CFL argmax ties)
+    # whose AD subgradient choice flips with 1e-9 parameter shifts (measured:
+    # AD ∈ [0.1121, 0.1187] for ξ ∈ 2 + [0, 1e-9, 1e-6, 1e-3], while the FD
+    # secant averages the kinks and converges to 0.1148 for h ∈ [1e-4, 1e-2]).
+    # The implicit-JVP solve itself is exact (single-solve AD == FD to 1e-10,
+    # see `ops.multigrid.solve_mg_implicit`); 5% covers the kink envelope.
     d_ad = float(jax.jacfwd(_spin_lift)(jnp.asarray(2.0, F64)))
     h = 1e-4
     d_fd = (float(_spin_lift(jnp.asarray(2.0 + h, F64)))
             - float(_spin_lift(jnp.asarray(2.0 - h, F64)))) / (2 * h)
-    assert d_ad == pytest.approx(d_fd, rel=1e-2)
+    assert d_ad == pytest.approx(d_fd, rel=5e-2)
 
 
 def _rot_psum(theta, nsteps=2):
-    # NOTE: sum(p) projects onto the pressure null space and becomes chaotic
-    # in θ after ~4 steps (FD invalid there; AD == FD to 6 digits at 1-2
-    # steps, verified at tol 2e-3 and 1e-8) — so the check runs at the
-    # verified-smooth horizon.
-    # θ-rotated plate, remeasure each step (`test_forwarddiff.jl:58-78`)
+    # θ-rotated plate, remeasure each step (`test_forwarddiff.jl:58-78`).
+    # The reference probes d(Σp)/dθ, which is only meaningful because
+    # ForwardDiff tracks the solver's floating pressure constant; our solve
+    # pins the gauge (interior mean(p) = 0, `ops.multigrid.solve_mg`), making
+    # Σp ≡ 0 — so the probe here is the gauge-invariant Σp² instead.
+    # NOTE: the functional becomes chaotic in θ after ~4 steps (FD invalid
+    # there) — the check runs at the verified-smooth horizon.
     L = 32
     U, Re = 1.0, 100.0
     s, c = jnp.sin(theta), jnp.cos(theta)
@@ -145,7 +155,7 @@ def _rot_psum(theta, nsteps=2):
         state, dt_next, _, _ = fl.mom_step(flow.cfg, state, levels, masks, dt, t)
         t = t + dt
         dt = dt_next
-    return jnp.sum(state.p)
+    return jnp.sum(interior(state.p) ** 2)
 
 
 def test_dpsum_dtheta():

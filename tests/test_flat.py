@@ -1,0 +1,141 @@
+"""Flat-layout engine parity — the (x, y·z) TPU fast path must reproduce the
+3D reference path step-for-step (same `mom_step!` numerics,
+`/root/reference/src/Flow.jl:156-167`)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waterlily_tpu import AutoBody, Simulation
+from waterlily_tpu.models import flow as fl
+from waterlily_tpu.models import flowflat as ff
+from waterlily_tpu.ops import mgflat
+from waterlily_tpu.ops import multigrid as mg
+from waterlily_tpu.ops import flat as fo
+from waterlily_tpu.ops import poisson as po
+
+F64 = jnp.float64
+
+
+def _sphere(dims=(24, 16, 16), exit_bc=False, dtype=F64):
+    R = 4
+    ctr = jnp.asarray([dims[0] / 3, dims[1] / 2, dims[2] / 2], dtype)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R)
+    return Simulation(dims, (1.0, 0.0, 0.0), R, nu=R / 100, body=body,
+                      dtype=dtype, exit_bc=exit_bc)
+
+
+def test_layout_roundtrip():
+    g = fo.geom_of((10, 9, 7))
+    a = jnp.arange(10 * 9 * 7, dtype=F64).reshape(10, 9, 7)
+    assert np.allclose(fo.from_flat(fo.to_flat(a, g), g), a)
+
+
+def test_shift_parity():
+    from waterlily_tpu.ops.grid import shift
+
+    g = fo.geom_of((8, 6, 5))
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (8, 6, 5), F64)
+    af = fo.to_flat(a, g)
+    ins = np.zeros((8, 6, 5), bool)
+    ins[1:-1, 1:-1, 1:-1] = True
+    for d in range(3):
+        for s in (-2, -1, 1, 2):
+            want = np.asarray(shift(a, d, s))
+            got = np.asarray(fo.from_flat(fo.shift_flat(af, g, d, s), g))
+            # wrap values differ (flat wrap crosses rows) but only in cells
+            # whose shifted source is a ghost/out-of-range — compare where the
+            # source index stays in the interior reach of the stencil
+            src_ok = np.ones((8, 6, 5), bool)
+            n = a.shape[d]
+            idx = np.arange(n) + s
+            ok = (idx >= 0) & (idx < n)
+            sl = [None] * 3
+            shp = [1, 1, 1]
+            shp[d] = n
+            src_ok &= ok.reshape(shp)
+            assert np.allclose(got[src_ok], want[src_ok])
+
+
+def test_poisson_ops_parity():
+    sim = _sphere()
+    mu0 = sim.flow.state.mu0
+    g = fo.geom_of(mu0.shape[1:])
+    lvl = po.make_level(mu0)
+    Lf = fo.to_flat(mu0, g)
+    Df, iDf = fo.set_diag_flat(Lf, g)
+    assert np.allclose(fo.from_flat(Df, g), np.asarray(lvl.D), atol=1e-12)
+    assert np.allclose(fo.from_flat(iDf, g), np.asarray(lvl.iD), atol=1e-12)
+
+    key = jax.random.PRNGKey(1)
+    x3 = jnp.zeros(mu0.shape[1:], F64).at[1:-1, 1:-1, 1:-1].set(
+        jax.random.normal(key, tuple(n - 2 for n in mu0.shape[1:]), F64))
+    xf = fo.to_flat(x3, g)
+    mf = fo.from_flat(fo.mult_flat(Lf, Df, xf, g), g)
+    m3 = po.mult(lvl, x3)
+    assert np.allclose(mf, np.asarray(m3), atol=1e-12)
+
+    z3 = po.mult(lvl, x3)
+    rf = fo.from_flat(fo.residual_flat(Lf, Df, iDf, jnp.zeros_like(xf),
+                                       fo.to_flat(z3, g), g), g)
+    r3 = po.residual(lvl, jnp.zeros_like(x3), z3)
+    assert np.allclose(rf, np.asarray(r3), atol=1e-12)
+
+    # smoothers
+    xs3, rs3 = po.gauss_seidel_rb(lvl, x3, r3, it=4, omega=0.8)
+    xsf, rsf = fo.gauss_seidel_rb_flat(Lf, Df, iDf, xf,
+                                       fo.to_flat(r3, g), g, it=4, omega=0.8)
+    assert np.allclose(fo.from_flat(xsf, g), np.asarray(xs3), atol=1e-12)
+    assert np.allclose(fo.from_flat(rsf, g), np.asarray(rs3), atol=1e-12)
+
+    xj3, rj3 = po.jacobi(lvl, x3, r3, it=1, omega=0.7)
+    xjf, rjf = fo.jacobi_flat(Lf, Df, iDf, xf, fo.to_flat(r3, g), g, it=1,
+                              omega=0.7)
+    assert np.allclose(fo.from_flat(xjf, g), np.asarray(xj3), atol=1e-12)
+    assert np.allclose(fo.from_flat(rjf, g), np.asarray(rj3), atol=1e-12)
+
+
+def test_solve_parity():
+    sim = _sphere()
+    mu0 = sim.flow.state.mu0
+    g = fo.geom_of(mu0.shape[1:])
+    fmg, masks, _ = mgflat.make_mg_flat(mu0)
+    key = jax.random.PRNGKey(2)
+    z3 = jnp.zeros(mu0.shape[1:], F64).at[1:-1, 1:-1, 1:-1].set(
+        jax.random.normal(key, tuple(n - 2 for n in mu0.shape[1:]), F64))
+    z3 = z3 - jnp.mean(z3[1:-1, 1:-1, 1:-1]) * (jnp.zeros_like(z3)
+                                                .at[1:-1, 1:-1, 1:-1].set(1.0))
+    res3 = mg.solve_mg(sim.levels, sim.masks, jnp.zeros_like(z3), z3)
+    resf = mgflat.solve_mg_flat(fmg, masks, fo.to_flat(jnp.zeros_like(z3), g),
+                                fo.to_flat(z3, g), g)
+    assert int(resf.iters) == int(res3.iters)
+    assert np.allclose(fo.from_flat(resf.x, g), np.asarray(res3.x), atol=1e-10)
+
+
+@pytest.mark.parametrize("exit_bc", [False, True])
+def test_mom_step_parity(exit_bc):
+    sim = _sphere(exit_bc=exit_bc)
+    cfg = sim.flow.cfg
+    g = fo.geom_of(cfg.shape)
+    fmg, masks, _ = mgflat.make_mg_flat(sim.flow.state.mu0)
+    assert ff.flat_supported(cfg)
+
+    s3 = sim.flow.state
+    sf = ff.state_to_flat(s3, g)
+    dt = jnp.asarray(0.25, F64)
+    t = jnp.asarray(0.0, F64)
+    for k in range(3):
+        s3, dt3, n3, _ = fl.mom_step(cfg, s3, sim.levels, sim.masks, dt, t)
+        sf, dtf, nf, _ = ff.mom_step_flat(cfg, sf, fmg, masks, g, dt, t)
+        assert np.allclose(np.asarray(n3), np.asarray(nf))
+        u3 = np.asarray(s3.u)
+        uf = np.asarray(fo.from_flat(sf.u, g))
+        assert np.allclose(uf, u3, atol=1e-11), f"step {k}: u mismatch"
+        pf = np.asarray(fo.from_flat(sf.p, g))
+        assert np.allclose(pf, np.asarray(s3.p), atol=1e-9), f"step {k}: p"
+        assert float(dtf) == pytest.approx(float(dt3), rel=1e-12)
+        t = t + dt
+        dt = dt3

@@ -453,6 +453,7 @@ class Flow:
         u = exit_bc_init(u)
         mu0 = bc_vector(jnp.ones((D,) + shape, dtype), (0.0,) * D,
                         save_exit=False, perdir=self.cfg.perdir)
+        self._refresh = None            # lazy-sync hook (flat-engine backed)
         self.state = FlowState(
             u=u, u0=u, p=jnp.zeros(shape, dtype),
             V=jnp.zeros((D,) + shape, dtype), mu0=mu0,
@@ -460,6 +461,20 @@ class Flow:
             nu=jnp.asarray(nu, dtype))
         self.dt = [float(dt)]           # host-side Δt history (`Flow.jl:127`)
         self.pois_n: list[int] = []     # pressure iterations per projection
+
+    @property
+    def state(self) -> "FlowState":
+        """The `FlowState` pytree.  When an alternate-layout engine is active
+        (`Simulation._flat`), the authoritative fields live in that layout and
+        are converted here on first access after a step (lazy sync keeps the
+        per-step hot loop free of layout copies)."""
+        if self._refresh is not None:
+            self._refresh()
+        return self._state
+
+    @state.setter
+    def state(self, value: "FlowState"):
+        self._state = value
 
     # convenience accessors mirroring the reference field names
     @property

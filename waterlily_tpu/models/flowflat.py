@@ -1,0 +1,164 @@
+"""Flat-layout momentum step — the single-device 3D TPU fast path.
+
+Same numerics as `models.flow.mom_step_impl` (`mom_step!`,
+`/root/reference/src/Flow.jl:156-167`) with every field in the (x, y·z) flat
+layout of `ops.flat` and the hot stencils in `ops.pallas_flat` kernels.
+Supported configuration: D == 3, constant-tuple boundary velocity,
+non-periodic, no body acceleration/udf (the general path falls back to
+`mom_step_impl`).  The convective-outlet exit BC is supported.
+
+The boundary-slab flux logic of `conv_diff` reduces to two in-stencil
+selects (see `ops.pallas_flat.conv_diff_k`); the jnp versions here are the
+kernel-independent reference implementations used on CPU and for kernel
+parity tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mgflat
+from ..ops.flat import (FlatGeom, bc_vector_flat, cfl_flat, div_flat,
+                        exit_bc_flat, fshift, from_flat, geom_of,
+                        inside_mask_flat, proj_correct_flat, to_flat, xshift,
+                        yz_planes, zero_ghost_flat)
+from .flow import FlowCfg, FlowState
+
+__all__ = ["flat_supported", "state_to_flat", "state_from_flat",
+           "conv_diff_flat", "bdim_flat", "mom_step_flat"]
+
+
+def flat_supported(cfg: FlowCfg, g=None, udf=None, solve_fn=None) -> bool:
+    """The flat engine covers the 3D single-device benchmark configuration."""
+    return (cfg.D == 3 and not cfg.perdir and cfg.g is None
+            and not callable(cfg.ubc) and udf is None and solve_fn is None
+            and g is None)
+
+
+def state_to_flat(state: FlowState, g: FlatGeom) -> FlowState:
+    return FlowState(u=to_flat(state.u, g), u0=to_flat(state.u0, g),
+                     p=to_flat(state.p, g), V=to_flat(state.V, g),
+                     mu0=to_flat(state.mu0, g), mu1=to_flat(state.mu1, g),
+                     nu=state.nu)
+
+
+def state_from_flat(state: FlowState, g: FlatGeom) -> FlowState:
+    return FlowState(u=from_flat(state.u, g), u0=from_flat(state.u0, g),
+                     p=from_flat(state.p, g), V=from_flat(state.V, g),
+                     mu0=from_flat(state.mu0, g), mu1=from_flat(state.mu1, g),
+                     nu=state.nu)
+
+
+def _axis_meta(g: FlatGeom, dtype):
+    """Per-direction (index plane, extent, flat step or None-for-x)."""
+    yv, zv, _ = yz_planes(g, dtype)
+    return ((None, g.Nx, None), (yv.astype(dtype), g.Ny, g.Nz),
+            (zv.astype(dtype), g.Nz, 1))
+
+
+def _shift(a, st, s):
+    """shift by s grid cells along a direction: st None → x rows, else flat."""
+    return xshift(a, s) if st is None else fshift(a, s * st)
+
+
+def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom) -> jax.Array:
+    """`conv_diff!` (`src/Flow.jl:38-62`) on flat fields, non-periodic.
+
+    Boundary-slab fixes in-stencil: UP → central at j-index 1 (`ϕuL`),
+    DN → central at j-index n−1 (`ϕuR`).  Ghost cells of the result are zero
+    (the reference zero-fills `a.f`)."""
+    from ..ops import pallas_flat as plf
+
+    if plf.use_pallas_flat(u):
+        return plf.conv_diff_k(u, nu, scheme, g)
+    meta = _axis_meta(g, u.dtype)
+    gx = jax.lax.broadcasted_iota(u.dtype, u.shape[1:], 0)
+    ins = inside_mask_flat(g, u.shape[1:], u.dtype)
+    out = []
+    for i in range(3):
+        f = u[i]
+        ri = jnp.zeros_like(f)
+        for j in range(3):
+            jf, n_j, st = meta[j]
+            if jf is None:
+                jf = gx
+            f_m1 = _shift(f, st, -1)
+            f_m2 = _shift(f, st, -2)
+            f_p1 = _shift(f, st, 1)
+            uadv = 0.5 * (u[j] + _shift(u[j], meta[i][2], -1))
+            cds_b = 0.5 * (f + f_m1)
+            up = jnp.where(jf == 1, cds_b, scheme(f_m2, f_m1, f))
+            dn = jnp.where(jf == n_j - 1, cds_b, scheme(f_p1, f, f_m1))
+            phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - f_m1)
+            ri = ri + (phi - _shift(phi, st, 1))
+        out.append(ri * ins)
+    return jnp.stack(out)
+
+
+def bdim_flat(u, u0, f, V, mu0, mu1, dt, g: FlatGeom) -> jax.Array:
+    """`BDIM!` (`src/Flow.jl:176-180`) on flat fields."""
+    from ..ops import pallas_flat as plf
+
+    if plf.use_pallas_flat(u):
+        return plf.bdim_k(u, u0, f, V, mu0, mu1, dt, g)
+    meta = _axis_meta(g, u.dtype)
+    fp = u0 + dt * f - V
+    terms = []
+    for i in range(3):
+        acc = jnp.zeros_like(fp[i])
+        for j in range(3):
+            st = meta[j][2]
+            acc = acc + mu1[i, j] * (_shift(fp[i], st, 1) - _shift(fp[i], st, -1))
+        terms.append(0.5 * acc + V[i] + mu0[i] * fp[i])
+    return u + zero_ghost_flat(jnp.stack(terms), g)
+
+
+def _scale_interior_flat(u: jax.Array, s, g: FlatGeom) -> jax.Array:
+    """`scale_u!` (`src/Flow.jl:211-214`): scale interior cells only."""
+    m = inside_mask_flat(g, u.shape[1:], u.dtype)
+    return u * (1.0 + (s - 1.0) * m)
+
+
+def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom):
+    """`mom_project!` (`src/Flow.jl:223-232`) on flat fields."""
+    z = div_flat(u, g)
+    x = p * dt_w
+    res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
+                               itmx=cfg.itmx)
+    u = proj_correct_flat(u, res.x, fmg.fine.L, g)
+    p = res.x / dt_w
+    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
+    return u, p, res.iters, res.stats
+
+
+def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
+                       g: FlatGeom, dt, t0):
+    """One full time step on flat state (`mom_step!`, `src/Flow.jl:156-167`)."""
+    u0 = state.u
+    state = dataclasses.replace(state, u0=u0)
+    # predictor (`Flow.jl:157-161`)
+    u = _scale_interior_flat(u0, 0.0, g)
+    f = conv_diff_flat(u0, cfg.scheme, state.nu, g)
+    u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g)
+    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
+    if cfg.exit_bc:
+        u = exit_bc_flat(u, u0, dt, g)
+    u, p, n1, s1 = _project_flat(u, state.p, fmg, masks, dt, cfg, g)
+    # corrector (`Flow.jl:163-165`)
+    f = conv_diff_flat(u, cfg.scheme, state.nu, g)
+    u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g)
+    u = _scale_interior_flat(u, 0.5, g)
+    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
+    u, p, n2, s2 = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g)
+    state = dataclasses.replace(state, u=u, p=p)
+    dt_next = cfl_flat(u, state.nu, g)
+    return state, dt_next, jnp.stack([n1, n2]), jnp.stack([s1, s2])
+
+
+@partial(jax.jit, static_argnames=("cfg", "masks", "g"))
+def mom_step_flat(cfg: FlowCfg, state: FlowState, fmg, masks, g: FlatGeom,
+                  dt, t0):
+    return mom_step_flat_impl(cfg, state, fmg, masks, g, dt, t0)

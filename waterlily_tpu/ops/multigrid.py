@@ -298,20 +298,29 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
         finally:
             pl3._IN_LOOP = False
     x, r, r1, rinf, omega, n, stats = carry
-    # Gauge fix: the all-Neumann operator is singular (solution defined up to
-    # a constant); pin the interior mean to zero so the pressure
-    # representative is canonical.  The reference leaves the constant floating
-    # at whatever the warm-started iteration drifts to — physically
-    # equivalent (only ∇p enters the momentum equation) but algorithm-defined,
-    # which makes derivatives of mean-sensitive functionals (e.g. Σp,
-    # `test_forwarddiff.jl:58-78`) depend on iteration count; with a pinned
-    # gauge the implicit-JVP tangent (`solve_mg_implicit`) matches finite
-    # differences exactly.
-    from .poisson import _zero_ghost
-    n_in = global_inside_count(fine_ctx, x.shape)
-    xm = psum_all(jnp.sum(_zero_ghost(x)), fine_ctx) / n_in
-    x = x - xm * _zero_ghost(jnp.ones_like(x))
+    x = canonical_gauge(x, p.iD, fine_ctx)
     return MGSolveResult(sync_scalar(x, fine_ctx, perdir), r, n, stats)
+
+
+def canonical_gauge(x: jax.Array, iD: jax.Array, ctx=None) -> jax.Array:
+    """Pin the pressure representative: the all-Neumann operator is singular
+    (solution defined up to a constant, plus *dead* cells deep inside a body
+    — ``iD == 0``, `Poisson.jl:92-98` — that the smoothers never touch).  The
+    reference leaves both floating at whatever the warm-started iteration
+    drifts to — physically equivalent (only ∇p enters the momentum equation,
+    and dead cells are decoupled: all their face coefficients are zero) but
+    algorithm-defined, which makes derivatives of mean/dead-sensitive
+    functionals (e.g. Σp, `test_forwarddiff.jl:58-78`) iteration-dependent.
+    Canonical rule: active interior cells get zero mean, dead interior cells
+    get zero, ghosts keep their (warm-start) values — under which the
+    implicit JVP (`solve_mg_implicit`) is exact."""
+    from .poisson import _zero_ghost, _inside_ones
+
+    act = jnp.where(iD != 0, _inside_ones(x), 0.0)
+    n_act = psum_all(jnp.sum(act), ctx)
+    m = psum_all(jnp.sum(x * act), ctx) / jnp.maximum(n_act, 1.0)
+    inside = _inside_ones(x)
+    return jnp.where(act > 0, x - m, x * (1.0 - inside))
 
 
 def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,

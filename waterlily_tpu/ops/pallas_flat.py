@@ -1,0 +1,412 @@
+"""Pallas TPU kernels on the flat (x, y·z) layout (`ops.flat`).
+
+Each kernel runs a grid over x-row blocks with the full flattened (y, z)
+plane resident in VMEM: rows of a ``(Nx, S, 128)`` array are (S, 128)
+tile-aligned planes, so the manual HBM→VMEM halo-window DMAs need no
+repacking or tail padding (the killers of the 3D-layout kernels in
+`ops.pallas3d`: XLA's physical lane padding at Nz=258 → 384 plus a full
+pad/unpad copy per call).
+
+Window starts are clamped into the array; the body receives the dynamic
+center offset ``co`` (output rows = window rows [co, co+bx)) and global row
+start ``ox``, and routes dynamic-offset row reads through scratch refs.
+In-plane (y/z) stencil shifts are sublane/lane rotations (`_pshift`) whose
+wrap values land only in ghost cells; x shifts inside a window use row
+concat-shifts whose edge garbage stays outside the center rows (halo depth
+covers the stencil reach).
+
+Numerics are exactly `models.flow.conv_diff` / `ops.poisson` — reference
+semantics cited there (`src/Flow.jl:38-62`, `src/Poisson.jl:92-148`).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flat import FlatGeom, yz_planes
+
+__all__ = ["use_pallas_flat", "conv_diff_k", "bdim_k", "jacobi_incr",
+           "gs_incr", "mult_k"]
+
+_INTERPRET = False
+_IN_LOOP = False     # trace-time: inside a lax.while_loop body Pallas custom
+                     # calls de-pipeline ~15x on the tunneled backend — use
+                     # the jnp flat path there (see ops.pallas3d._IN_LOOP)
+
+
+def use_pallas_flat(a: jax.Array) -> bool:
+    """Gate: f32 flat fields on TPU; disable with WLTPU_PALLAS=0; interpret
+    mode (tests) forces on."""
+    if os.environ.get("WLTPU_PALLAS", "1") == "0":
+        return False
+    if _IN_LOOP:
+        return False
+    if a.dtype != jnp.float32:
+        return False
+    if _INTERPRET:
+        return True
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pshift(a: jax.Array, s: int) -> jax.Array:
+    """Flat-plane shift of (..., S, 128) window data: b[f] = a[f + s]."""
+    if s == 0:
+        return a
+    q, r = divmod(s, 128)
+    S = a.shape[-2]
+    q = q % S
+
+    def sroll(x, k):
+        if k == 0:
+            return x
+        return jnp.concatenate([x[..., k:, :], x[..., :k, :]], axis=-2)
+
+    a1 = sroll(a, q)
+    if r == 0:
+        return a1
+    a2 = sroll(a, (q + 1) % S)
+    return jnp.concatenate([a1[..., r:], a2[..., :r]], axis=-1)
+
+
+def _rshift(a: jax.Array, s: int) -> jax.Array:
+    """x-row shift within a window: b[k] = a[k + s] (wrap garbage at window
+    edges — callers keep center rows clear of it)."""
+    if s == 0:
+        return a
+    n = a.shape[0]
+    s = s % n
+    return jnp.concatenate([a[s:], a[:s]], axis=0)
+
+
+def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
+               halos: list[int], n_aux: int, n_out: int, bx: int,
+               vmem_mb: int = 100):
+    """Run ``body(win_refs, aux, scalars, ox, cos, bx) -> [(bx, S, 128)] *
+    n_out`` over clamped x-row halo windows covering output rows [1, Nx-1).
+
+    ``win_refs[k]`` is the raw VMEM ref of input k's window (min(bx+2·halos[k],
+    Nx) rows); ``aux`` are (S, 128) plane constants resident per-kernel;
+    ``cos[k]`` the per-input center offset.  Output k is written at rows
+    [ox, ox+bx)."""
+    n_cov = Nx - 2
+    bx = min(bx, n_cov)
+    nbx = max(1, -(-n_cov // bx))
+    n_win = len(halos)
+
+    def kernel(*refs):
+        scal = refs[:n_scalar]
+        ins = refs[n_scalar:n_scalar + n_win]
+        aux = refs[n_scalar + n_win:n_scalar + n_win + n_aux]
+        outs = refs[n_scalar + n_win + n_aux:n_scalar + n_win + n_aux + n_out]
+        k0 = n_scalar + n_win + n_aux + n_out
+        win = refs[k0:k0 + n_win]
+        obuf = refs[k0 + n_win:k0 + n_win + n_out]
+        sem_in = refs[-2]
+        sem_out = refs[-1]
+        ix = pl.program_id(0)
+        ox = jnp.minimum(1 + ix * bx, Nx - 1 - bx)
+        copies, cos = [], []
+        for k in range(n_win):
+            wk = min(bx + 2 * halos[k], Nx)
+            ws = jnp.clip(ox - halos[k], 0, Nx - wk)
+            cos.append(ox - ws)
+            copies.append(pltpu.make_async_copy(
+                ins[k].at[pl.ds(ws, wk)], win[k], sem_in.at[k]))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        scalars = [s[0, 0] for s in scal]
+        results = body(win, [a[:] for a in aux], scalars, ox, cos, bx)
+        out_copies = []
+        for k in range(n_out):
+            obuf[k][:] = results[k]
+            c = pltpu.make_async_copy(obuf[k], outs[k].at[pl.ds(ox, bx)],
+                                      sem_out.at[k])
+            c.start()
+            out_copies.append(c)
+        for c in out_copies:
+            c.wait()
+
+    out_shapes = tuple(jax.ShapeDtypeStruct((Nx, S, 128), jnp.float32)
+                       for _ in range(n_out))
+
+    def call(scalars, arrays, aux_planes):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nbx,),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar
+                      + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_win
+                      + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_aux),
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                            for _ in range(n_out)),
+            out_shape=out_shapes,
+            scratch_shapes=([pltpu.VMEM((min(bx + 2 * halos[k], Nx), S, 128),
+                                        jnp.float32) for k in range(n_win)]
+                            + [pltpu.VMEM((bx, S, 128), jnp.float32)
+                               for _ in range(n_out)]
+                            + [pltpu.SemaphoreType.DMA((n_win,)),
+                               pltpu.SemaphoreType.DMA((n_out,))]),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_mb * 1024 * 1024),
+            interpret=_INTERPRET,
+        )(*scalars, *arrays, *aux_planes)
+        return list(outs) if isinstance(outs, (tuple, list)) else [outs]
+
+    return call
+
+
+def _planes(g: FlatGeom):
+    y, z, ins = yz_planes(g, jnp.float32)
+    return (y.astype(jnp.float32), z.astype(jnp.float32), ins)
+
+
+def _fix_ghost_rows(out: jax.Array, val0, val1) -> jax.Array:
+    """The kernels never write x rows 0 / Nx-1 (uninitialized memory):
+    restore them from the given row slabs."""
+    return out.at[0:1].set(val0).at[-1:].set(val1)
+
+
+# ---------------------------------------------------------------- conv_diff
+def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom) -> jax.Array:
+    """Fused convective-diffusive RHS (`conv_diff!`, `src/Flow.jl:38-62`)
+    for all 3 components, non-periodic, with the boundary-slab flux fixes
+    applied in-kernel:
+
+        Φ_j[I] = uadv·(uadv>0 ? UP : DN) − ν (f[I] − f[I−e_j])
+        UP = j-index==1   ? ½(f[I]+f[I−e_j]) : λ(f[I−2e_j], f[I−e_j], f[I])
+        DN = j-index==n−1 ? ½(f[I]+f[I−e_j]) : λ(f[I+e_j], f[I], f[I−e_j])
+        r_i[I] = Σ_j Φ_j[I] − Φ_j[I+e_j]      (interior; ghosts zero)
+
+    (the jdx==1 / jdx==n−1 branches are `ϕuL`/`ϕuR`, `src/Flow.jl:56-57`).
+    """
+    Nx, S = g.Nx, g.S
+    h = 2
+    yv, zv, ins = _planes(g)
+    steps = (None, g.Nz, 1)
+
+    def body(win, aux, scalars, ox, cos, bx):
+        nu_s = scalars[0]
+        yv, zv, ins = aux
+        co = cos[0]
+
+        def inner(phi_ref):
+            outs = []
+            gx_c = jax.lax.broadcasted_iota(jnp.int32, (bx, S, 128), 0) + ox
+            for i in range(3):
+                fw = win[i][:]
+                ri = jnp.zeros((bx, S, 128), jnp.float32)
+                for j in range(3):
+                    st = steps[j]
+                    if st is None:
+                        f_m1 = _rshift(fw, -1)
+                        f_m2 = _rshift(fw, -2)
+                        f_p1 = _rshift(fw, 1)
+                        jf = (jax.lax.broadcasted_iota(jnp.int32, fw.shape, 0)
+                              + (ox - co))
+                        n_j = Nx
+                    else:
+                        f_m1 = _pshift(fw, -st)
+                        f_m2 = _pshift(fw, -2 * st)
+                        f_p1 = _pshift(fw, st)
+                        jf = yv if j == 1 else zv
+                        n_j = g.Ny if j == 1 else g.Nz
+                    uj = win[j][:]
+                    if i == 0:
+                        uadv = 0.5 * (uj + _rshift(uj, -1))
+                    else:
+                        uadv = 0.5 * (uj + _pshift(uj, -steps[i]))
+                    cds_lo = 0.5 * (fw + f_m1)
+                    up = jnp.where(jf == 1, cds_lo, scheme(f_m2, f_m1, fw))
+                    dn = jnp.where(jf == n_j - 1, cds_lo,
+                                   scheme(f_p1, fw, f_m1))
+                    phi = uadv * jnp.where(uadv > 0, up, dn) \
+                        - nu_s * (fw - f_m1)
+                    phi_ref[:] = phi
+                    phi_c = phi_ref[pl.ds(co, bx)]
+                    if st is None:
+                        phi_n = phi_ref[pl.ds(co + 1, bx)]
+                    else:
+                        phi_n = _pshift(phi_c, st)
+                    ri = ri + (phi_c - phi_n)
+                # interior mask: zero r at ghosts (reference `a.f .= 0` +
+                # inside_u-only writes, `src/Flow.jl:44,190`)
+                m = ins * jnp.where((gx_c >= 1) & (gx_c <= Nx - 2), 1.0, 0.0)
+                outs.append(ri * m)
+            return outs
+
+        return pl.run_scoped(inner, pltpu.VMEM(win[0].shape, jnp.float32))
+
+    call = _halo_call(body, Nx, S, n_scalar=1, halos=[h, h, h], n_aux=3,
+                      n_out=3, bx=8)
+    nu1 = jnp.asarray(nu, jnp.float32).reshape(1, 1)
+    r = call([nu1], [u[0], u[1], u[2]], _planes(g))
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    return jnp.stack([_fix_ghost_rows(rk, zrow, zrow) for rk in r])
+
+
+# ---------------------------------------------------------------- BDIM
+def bdim_k(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
+           mu0: jax.Array, mu1: jax.Array, dt, g: FlatGeom) -> jax.Array:
+    """Fused BDIM update (`BDIM!`, `src/Flow.jl:176-180`), one launch per
+    component:
+
+        f*_i = u0_i + dt·f_i − V_i                       (computed in-window)
+        u_i += ½ Σ_j μ1[i,j]·(f*_i[+e_j] − f*_i[−e_j]) + V_i + μ0_i·f*_i
+    """
+    Nx, S = g.Nx, g.S
+    steps = (None, g.Nz, 1)
+    out = []
+    for i in range(3):
+        def body(win, aux, scalars, ox, cos, bx, i=i):
+            dt_s = scalars[0]
+            _, _, ins = aux
+            uw, u0w, fw, vw, m0w, m10, m11, m12 = win
+            co = cos[1]
+            fp = u0w[:] + dt_s * fw[:] - vw[:]
+
+            def inner(fp_ref):
+                fp_ref[:] = fp
+                fp_c = fp_ref[pl.ds(co, bx)]
+                acc = m10[:] * (fp_ref[pl.ds(co + 1, bx)]
+                                - fp_ref[pl.ds(co - 1, bx)])
+                acc = acc + m11[:] * (_pshift(fp_c, g.Nz) - _pshift(fp_c, -g.Nz))
+                acc = acc + m12[:] * (_pshift(fp_c, 1) - _pshift(fp_c, -1))
+                gx = jax.lax.broadcasted_iota(jnp.int32, fp_c.shape, 0) + ox
+                m = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
+                upd = 0.5 * acc + vw[pl.ds(co, bx)] + m0w[:] * fp_c
+                return [uw[:] + m * upd]
+
+            return pl.run_scoped(inner, pltpu.VMEM(fp.shape, jnp.float32))
+
+        call = _halo_call(body, Nx, S, n_scalar=1,
+                          halos=[0, 1, 1, 1, 0, 0, 0, 0], n_aux=3, n_out=1,
+                          bx=8)
+        dt1 = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+        o = call([dt1], [u[i], u0[i], f[i], V[i], mu0[i],
+                         mu1[i, 0], mu1[i, 1], mu1[i, 2]], _planes(g))[0]
+        out.append(_fix_ghost_rows(o, u[i][0:1], u[i][-1:]))
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------- Poisson
+def _gauss_cascade(rr, idw, Ls, eps, colors, par, ins, g: FlatGeom):
+    for color in colors:
+        s = rr
+        s = s - (_rshift(eps, -1) * Ls[0] + _rshift(eps, 1) * _rshift(Ls[0], 1))
+        s = s - (_pshift(eps, -g.Nz) * Ls[1] + _pshift(eps, g.Nz) * _pshift(Ls[1], g.Nz))
+        s = s - (_pshift(eps, -1) * Ls[2] + _pshift(eps, 1) * _pshift(Ls[2], 1))
+        eps = jnp.where((par == float(color)) & (ins > 0), s * idw, eps)
+    return eps
+
+
+def _gs_bx(S: int, h: int) -> int:
+    """Largest row-block size whose windows + register-spill slots fit VMEM.
+    The cascade keeps ~19 full-window temporaries live (measured from the
+    XLA OOM report at 256^3: 101MB spill for (20, 528, 128) windows), plus
+    6 scratch windows — model ~25 window-rows of live state, budget 90MB."""
+    per_row = S * 128 * 4
+    best = 4
+    for bx in (6, 8, 12, 16, 24, 32):
+        if 25 * (bx + 2 * h) * per_row <= 90 * 1024 * 1024:
+            best = bx
+    return best
+
+
+def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
+            iD: jax.Array, colors, omega, g: FlatGeom):
+    """Communication-avoiding red-black sweeps + increment
+    (`GaussSeidelRB!` + `increment!`, `src/Poisson.jl:100-148`): each block
+    recomputes the sweep cascade inside a halo of depth n_sweeps+1, then
+
+        x += ω·eps,  r −= ω·A·eps   on its center rows.
+
+    ``colors == []`` degenerates to the fused Jacobi smoother."""
+    Nx, S = g.Nx, g.S
+    it = len(colors)
+    h = it + 1
+
+    def body(win, aux, scalars, ox, cos, bx):
+        om = scalars[0]
+        yv, zv, ins = aux
+        xw, rw, idw_w, dw, l0w, l1w, l2w = win
+        co = cos[1]
+        rr, idw = rw[:], idw_w[:]
+        Ls = [l0w[:], l1w[:], l2w[:]]
+        gx = jax.lax.broadcasted_iota(jnp.int32, rr.shape, 0) + (ox - co)
+        insw = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
+        par = (gx.astype(jnp.float32) + yv + zv) % 2.0
+        eps = rr * idw * insw
+        eps = _gauss_cascade(rr, idw, Ls, eps, colors, par, insw, g)
+
+        def inner(e_ref):
+            e_ref[:] = eps
+            e_c = e_ref[pl.ds(co, bx)]
+            aeps = e_c * dw[:]
+            aeps = aeps + e_ref[pl.ds(co - 1, bx)] * l0w[pl.ds(co, bx)] \
+                + e_ref[pl.ds(co + 1, bx)] * l0w[pl.ds(co + 1, bx)]
+            l1c = l1w[pl.ds(co, bx)]
+            l2c = l2w[pl.ds(co, bx)]
+            aeps = aeps + _pshift(e_c, -g.Nz) * l1c + _pshift(e_c, g.Nz) * _pshift(l1c, g.Nz)
+            aeps = aeps + _pshift(e_c, -1) * l2c + _pshift(e_c, 1) * _pshift(l2c, 1)
+            gxc = jax.lax.broadcasted_iota(jnp.int32, e_c.shape, 0) + ox
+            mc = ins * jnp.where((gxc >= 1) & (gxc <= Nx - 2), 1.0, 0.0)
+            x_new = xw[:] + om * e_c * mc
+            r_new = rw[pl.ds(co, bx)] - om * aeps * mc
+            return [x_new, r_new]
+
+        return pl.run_scoped(inner, pltpu.VMEM(rr.shape, jnp.float32))
+
+    call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, h, h, 0, h, h, h],
+                      n_aux=3, n_out=2, bx=_gs_bx(S, h))
+    om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
+    xo, ro = call([om1], [x, r, iD, D, L[0], L[1], L[2]], _planes(g))
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    xo = _fix_ghost_rows(xo, x[0:1], x[-1:])
+    ro = _fix_ghost_rows(ro, zrow, zrow)
+    return xo, ro
+
+
+def jacobi_incr(x, r, L, D, iD, omega, g: FlatGeom):
+    """Fused Jacobi smoother + increment (`Jacobi!`, `src/Poisson.jl:111-114`)."""
+    return gs_incr(x, r, L, D, iD, [], omega, g)
+
+
+def mult_k(x: jax.Array, L: jax.Array, D: jax.Array, g: FlatGeom) -> jax.Array:
+    """A·x (`mult`, `src/Poisson.jl:63-76`); ghosts/tail zero."""
+    Nx, S = g.Nx, g.S
+
+    def body(win, aux, scalars, ox, cos, bx):
+        _, _, ins = aux
+        xw, l0, l1, l2, dw = win
+        co = cos[0]
+
+        def inner(x_ref):
+            x_ref[:] = xw[:]
+            x_c = x_ref[pl.ds(co, bx)]
+            s = x_c * dw[:]
+            s = s + x_ref[pl.ds(co - 1, bx)] * l0[pl.ds(co, bx)] \
+                + x_ref[pl.ds(co + 1, bx)] * l0[pl.ds(co + 1, bx)]
+            l1c = l1[pl.ds(co, bx)]
+            l2c = l2[pl.ds(co, bx)]
+            s = s + _pshift(x_c, -g.Nz) * l1c + _pshift(x_c, g.Nz) * _pshift(l1c, g.Nz)
+            s = s + _pshift(x_c, -1) * l2c + _pshift(x_c, 1) * _pshift(l2c, 1)
+            gx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ox
+            return [s * ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)]
+
+        return pl.run_scoped(inner, pltpu.VMEM(xw.shape, jnp.float32))
+
+    call = _halo_call(body, Nx, S, n_scalar=0, halos=[1, 1, 1, 1, 0],
+                      n_aux=3, n_out=1, bx=8)
+    o = call([], [x, L[0], L[1], L[2], D], _planes(g))[0]
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    return _fix_ghost_rows(o, zrow, zrow)

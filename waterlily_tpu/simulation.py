@@ -36,6 +36,13 @@ def _update_mg_jit(masks, mu0, perdir):
     return mg.update_mg(None, masks, mu0, perdir)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def pcg_solve_fn(levels, masks, x, z, tol, itmx, perdir):
     """Adapter running the standalone PCG `Poisson` solver in place of the
     multigrid one (the `pois_ctor` dependency-injection hook of the reference,
@@ -63,7 +70,8 @@ class Simulation:
                  perdir: tuple[int, ...] = (), u0=None, exit_bc: bool = False,
                  scheme: Callable = fl.quick, body: Optional[Body] = None,
                  dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
-                 flow_ctor: Optional[Callable] = None, psolver: str = "mg"):
+                 flow_ctor: Optional[Callable] = None, psolver: str = "mg",
+                 engine: str = "auto"):
         if U is None:
             if callable(ubc):
                 raise ValueError("U (velocity scale) must be given when ubc is a function")
@@ -92,6 +100,28 @@ class Simulation:
         else:
             raise ValueError(f"unknown psolver {psolver!r}")
         self.solver_stats = None   # last step's (2, itmx+1, 3) residual log
+        # flat (x, y·z) layout engine: the 3D single-device TPU fast path
+        # (`models.flowflat`); "auto" enables it for supported configs on TPU
+        from .models import flowflat as ff
+
+        self._flat = None
+        if engine == "flat" or (engine == "auto" and psolver == "mg"
+                                and ff.flat_supported(self.flow.cfg, g)
+                                and _on_tpu()):
+            if psolver != "mg" or not ff.flat_supported(self.flow.cfg, g):
+                raise ValueError("flat engine needs psolver='mg', D=3, "
+                                 "constant ubc, no perdir/g")
+            from .ops import flat as fo
+            from .ops import mgflat
+
+            gm = fo.geom_of(self.flow.cfg.shape)
+            self._flat = {
+                "g": gm,
+                "state": ff.state_to_flat(self.flow.state, gm),
+                "fmg": mgflat._flatten_stack(self.levels, gm),
+            }
+            self._flat_fresh = False   # flat state newer than flow._state?
+            self.flow._refresh = self._pull_flat
 
     # ------------------------------------------------------------- time
     @property
@@ -125,6 +155,16 @@ class Simulation:
             self.levels = _update_mg_jit(self.masks, mu0, cfg.perdir)
         else:
             self.levels = (ps.make_level(mu0),)
+        if self._flat is not None:
+            from .models import flowflat as ff
+            from .ops import mgflat
+
+            gm = self._flat["g"]
+            st = self._flat["state"]
+            self._flat["fmg"] = mgflat._flatten_stack(self.levels, gm)
+            from .ops.flat import to_flat
+            self._flat["state"] = dataclasses.replace(
+                st, V=to_flat(V, gm), mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
 
     def step_once(self, remeasure: bool = True, udf=None):
         """One `mom_step` (+ optional body re-measure), host bookkeeping of
@@ -134,14 +174,54 @@ class Simulation:
         cfg = self.flow.cfg
         dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
         t0 = jnp.asarray(self.time, cfg.dtype)
-        state, dt_next, iters, stats = fl.mom_step(
-            cfg, self.flow.state, self.levels, self.masks, dt, t0, udf,
-            self.solve_fn)
-        self.flow.state = state
+        if self._flat is not None and udf is None:
+            from .models import flowflat as ff
+
+            gm = self._flat["g"]
+            state, dt_next, iters, stats = ff.mom_step_flat(
+                cfg, self._flat["state"], self._flat["fmg"], self.masks, gm,
+                dt, t0)
+            self._flat["state"] = state
+            # 3D mirror syncs lazily on next `flow.state` read (no per-step
+            # layout copies in the hot loop)
+            self._flat_fresh = True
+        else:
+            state, dt_next, iters, stats = fl.mom_step(
+                cfg, self.flow.state, self.levels, self.masks, dt, t0, udf,
+                self.solve_fn)
+            self.flow.state = state
+            self._sync_flat()
         self.flow.dt.append(float(dt_next))
         self.flow.pois_n += [int(iters[0]), int(iters[1])]
         self.solver_stats = stats
         return self
+
+    def _pull_flat(self):
+        """Lazy flat → 3D sync, installed as `Flow._refresh`: convert the
+        stepped fields back to the 3D layout on first access only."""
+        if not getattr(self, "_flat_fresh", False):
+            return
+        from .ops.flat import from_flat
+
+        gm = self._flat["g"]
+        st = self._flat["state"]
+        self._flat_fresh = False
+        self.flow._state = dataclasses.replace(
+            self.flow._state, u=from_flat(st.u, gm),
+            u0=from_flat(st.u0, gm), p=from_flat(st.p, gm))
+
+    def _sync_flat(self):
+        """Re-flatten the dynamic fields after a 3D-side state mutation."""
+        if self._flat is None:
+            return
+        from .ops.flat import to_flat
+
+        gm = self._flat["g"]
+        st = self.flow.state
+        self._flat_fresh = False
+        self._flat["state"] = dataclasses.replace(
+            self._flat["state"], u=to_flat(st.u, gm), u0=to_flat(st.u0, gm),
+            p=to_flat(st.p, gm))
 
     def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
                  max_steps: int = 10**9, verbose: bool = False, udf=None):
@@ -167,6 +247,7 @@ class Simulation:
         u = self.flow.state.u
         u = u + noise * self.U * jax.random.normal(key, u.shape, u.dtype)
         self.flow.state = dataclasses.replace(self.flow.state, u=u)
+        self._sync_flat()
         return self
 
     def sdf_field(self, t: Optional[float] = None):
