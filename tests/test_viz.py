@@ -74,3 +74,22 @@ def test_get_body_shape():
     s = viz.get_body(sim)
     assert s.shape == (32, 24)
     assert float(s.min()) < 0 < float(s.max())
+
+
+def test_pathlines_gif(tmp_path):
+    # device-advected fading pathlines (`ext/WaterLilyPathlinesExt.jl:19-58`)
+    from waterlily_tpu.utils.pathlines import Particles, pathlines_gif, \
+        update_particles
+
+    sim = _circle_sim()
+    sim.sim_step()
+    p = Particles.init(64, sim.flow.cfg.shape, life=16, seed=1)
+    p2, old, v = update_particles(p, sim)
+    import numpy as np
+    assert np.all(np.isfinite(np.asarray(p2.pos)))
+    # particles in the free stream move with the flow (u ~ U > 0)
+    moved = np.asarray(p2.pos)[:, 0] - np.asarray(old)[:, 0]
+    assert moved.mean() > 0
+    out = pathlines_gif(sim, n=128, duration=0.2, step=0.1, life=16,
+                        fname=str(tmp_path / "pl.gif"), fps=5)
+    assert os.path.getsize(out) > 0

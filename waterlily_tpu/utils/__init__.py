@@ -6,3 +6,4 @@ from .metrics import (MeanFlow, ke_field, lambda2_field, omega_field,
                       total_force, total_moment, viscous_force, viscous_moment)
 from .metrics import vorticity  # noqa: F401,E402
 from . import viz  # noqa: F401,E402
+from . import pathlines  # noqa: F401,E402
