@@ -1,0 +1,114 @@
+"""Pallas flat-layout kernels vs the jnp flat reference implementations.
+
+Runs the TPU kernels in Pallas interpret mode (CPU) on small grids so kernel
+logic (halo windows, clamped DMAs, ghost-row handling, cascade coloring) is
+validated in CI without TPU hardware; numerics must match `ops.flat` /
+`models.flowflat` elementwise (f32, tol 1e-5)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waterlily_tpu.models import flow as fl
+from waterlily_tpu.models import flowflat as ff
+from waterlily_tpu.ops import flat as fo
+from waterlily_tpu.ops import pallas_flat as plf
+
+F32 = jnp.float32
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(plf, "_INTERPRET", True)
+
+
+def _fields(shape3=(12, 10, 7), seed=0):
+    g = fo.geom_of(shape3)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    shape = (g.Nx, g.S, 128)
+    mk = lambda k, lead=(): fo.to_flat(
+        jax.random.normal(k, lead + shape3, F32), g)
+    u = mk(ks[0], (3,))
+    x = mk(ks[1])
+    r = mk(ks[2])
+    L = jnp.abs(mk(ks[3], (3,)))
+    D, iD = fo.set_diag_flat(L, g)
+    return g, u, x, r, L, D, iD, ks
+
+
+def test_conv_diff_k():
+    g, u, *_ = _fields()
+    got = plf.conv_diff_k(u, jnp.float32(0.1), fl.quick, g)
+    plf._INTERPRET = False
+    want = ff.conv_diff_flat(u, fl.quick, jnp.float32(0.1), g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_bdim_k():
+    g, u, x, r, L, D, iD, ks = _fields()
+    u0 = u + 0.1
+    f = 0.5 * u
+    V = 0.2 * u
+    mu0 = jnp.abs(u)
+    mu1 = jnp.stack([0.1 * u, 0.2 * u, 0.3 * u], axis=0)
+    dt = jnp.float32(0.2)
+    got = plf.bdim_k(u, u0, f, V, mu0, mu1, dt, g)
+    plf._INTERPRET = False
+    want = ff.bdim_flat(u, u0, f, V, mu0, mu1, dt, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("it", [0, 1, 4])
+def test_smoother_k(it):
+    g, u, x, r, L, D, iD, ks = _fields()
+    # solver invariant: the residual has zero ghosts (`residual_flat`); the
+    # kernels re-assert it on their ghost rows while the jnp path passes
+    # input ghosts through — parity holds on invariant-respecting inputs
+    r = fo.zero_ghost_flat(r, g)
+    colors = [(1 - 3 - k0) % 2 for k0 in range(1, it + 1)]
+    om = jnp.float32(0.8)
+    got = plf.gs_incr(x, r, L, D, iD, colors, om, g)
+    plf._INTERPRET = False
+    if it == 0:
+        want = fo.jacobi_flat(L, D, iD, x, r, g, it=1, omega=0.8)
+    else:
+        want = fo.gauss_seidel_rb_flat(L, D, iD, x, r, g, it=it, omega=0.8)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]), atol=2e-5)
+    assert np.allclose(np.asarray(got[1]), np.asarray(want[1]), atol=2e-5)
+
+
+def test_mult_k():
+    g, u, x, r, L, D, iD, ks = _fields()
+    got = plf.mult_k(x, L, D, g)
+    plf._INTERPRET = False
+    want = fo.mult_flat(L, D, x, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("save_exit", [False, True])
+def test_bc_k(save_exit):
+    g, u, *_ = _fields()
+    ubc = (1.0, 0.25, -0.5)
+    got = plf.bc_k(u, ubc, g, save_exit)
+    plf._INTERPRET = False
+    want = fo.bc_vector_flat(u, ubc, g, save_exit)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_increment_k():
+    g, u, x, r, L, D, iD, ks = _fields()
+    r = fo.zero_ghost_flat(r, g)
+    eps = fo.zero_ghost_flat(0.3 * x + 0.1, g)
+    om = jnp.float32(0.7)
+    got = plf.increment_k(x, r, eps, L, D, om, g)
+    plf._INTERPRET = False
+    want = fo.increment_flat(L, D, x, r, eps, om, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]), atol=2e-5)
+    assert np.allclose(np.asarray(got[1]), np.asarray(want[1]), atol=2e-5)

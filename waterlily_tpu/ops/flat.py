@@ -154,6 +154,10 @@ def bc_vector_flat(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False
     value (the constant-spec cancellation of `ops.bc.bc_vector`), and
     ``save_exit`` preserves the x-high exit plane of u_x for `exitBC!`.
     The (i, j) update order matches the 3D path so corner ghosts agree."""
+    from . import pallas_flat as plf
+
+    if plf.use_pallas_flat(u):
+        return plf.bc_k(u, ubc, g, save_exit)
     D = u.shape[0]
     yv, zv, _ = yz_planes(g, u.dtype)
     comps = []
@@ -283,6 +287,10 @@ def interior_mean_flat(x: jax.Array, g: FlatGeom):
 
 def increment_flat(L, D, x, r, eps, omega, g: FlatGeom):
     """x += ω·eps, r −= ω·A·eps (`increment!`, `Poisson.jl:100-104`)."""
+    from . import pallas_flat as plf
+
+    if plf.use_pallas_flat(x):
+        return plf.increment_k(x, r, eps, L, D, omega, g)
     r = r - omega * mult_flat(L, D, eps, g)
     x = x + omega * zero_ghost_flat(eps, g)
     return x, r

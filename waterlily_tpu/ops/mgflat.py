@@ -1,10 +1,12 @@
-"""Multigrid pressure solve with a flat-layout fine level.
+"""Multigrid pressure solve with flat-layout levels.
 
-The fine level (≥ 85% of the V-cycle bandwidth) runs on the (x, y·z) flat
-layout through the `ops.pallas_flat` kernels; coarser levels are ≤ 1/8 the
-size and reuse the plain 3D stack of `ops.multigrid` unchanged.  Transitions
-convert between layouts (`to_flat`/`from_flat`) — one extra fine-field pass
-per V-cycle, ~5% of the cycle cost.
+Levels big enough to matter (≥ `_FLAT_MIN_CELLS` cells — for a 256³ problem
+that is the 258³ fine level plus the 130³ and 66³ coarse levels, together
+~99% of the V-cycle work) run on the (x, y·z) flat layout through the
+`ops.pallas_flat` kernels; the remaining tiny levels reuse the plain 3D stack
+of `ops.multigrid` unchanged.  Restriction/prolongation step through the 3D
+layout at each transition (`to_flat`/`from_flat`) — one extra field pass per
+level per V-cycle, a few % of the cycle cost.
 
 Algorithm identical to `solver!` (`/root/reference/src/MultiLevelPoisson.jl:
 88-128`): fine Jacobi pre-smooth, restrict, coarse V-cycle recursion,
@@ -13,6 +15,7 @@ stop, plus the canonical zero-mean pressure gauge of `ops.multigrid.solve_mg`.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -20,63 +23,122 @@ import jax.numpy as jnp
 
 from . import multigrid as mg
 from .flat import (FlatGeom, from_flat, gauss_seidel_rb_flat, geom_of,
-                   increment_flat, interior_mean_flat, inside_mask_flat,
-                   jacobi_flat, norms_flat, residual_flat, set_diag_flat,
-                   to_flat)
+                   increment_flat, inside_mask_flat, jacobi_flat, norms_flat,
+                   residual_flat, set_diag_flat, to_flat)
 from .poisson import PoissonLevel, gauss_seidel_rb
 
 __all__ = ["FlatMG", "make_mg_flat", "update_mg_flat", "solve_mg_flat"]
 
+_FLAT_MIN_CELLS = 100_000    # levels below this stay in the 3D layout
+
 
 class FlatMG(NamedTuple):
     fine: PoissonLevel          # flat-layout (D,Nx,S,128) / (Nx,S,128) arrays
-    tail: tuple                 # 3D PoissonLevels (levels 1..)
-    # static data (masks, geom) travels separately — pytree leaves above only
+    mids: tuple                 # flat-layout PoissonLevels (levels 1..k)
+    tail: tuple                 # 3D PoissonLevels (levels k+1..)
+    # static data (masks, geoms) travels separately — pytree leaves only
+
+
+@functools.lru_cache(maxsize=64)
+def _level_geoms(g: FlatGeom, masks) -> tuple:
+    """FlatGeom of every level, derived statically from the fine geom and the
+    per-transition coarsening masks."""
+    shapes = [g.shape3]
+    for c in masks:
+        shapes.append(mg.coarse_shape(shapes[-1], c))
+    return tuple(geom_of(s) for s in shapes)
+
+
+def _n_flat(g: FlatGeom, masks) -> int:
+    geoms = _level_geoms(g, masks)
+    n = 0
+    for gl in geoms:
+        if gl.Nx * gl.M < _FLAT_MIN_CELLS:
+            break
+        n += 1
+    return max(1, n)
 
 
 def make_mg_flat(mu0_3d: jax.Array, maxlevels: int = 10):
     """Build (flat_mg, masks, geom) from the fine 3D face coefficients."""
     levels, masks = mg.make_mg(mu0_3d, (), maxlevels)
     g = geom_of(mu0_3d.shape[1:])
-    return _flatten_stack(levels, g), masks, g
+    return _flatten_stack(levels, g, masks), masks, g
 
 
 def update_mg_flat(masks, mu0_3d: jax.Array, g: FlatGeom) -> FlatMG:
     """Re-restrict after a body re-measure (`update!`,
     `MultiLevelPoisson.jl:79-86`)."""
     levels = mg.update_mg(None, masks, mu0_3d, ())
-    return _flatten_stack(levels, g)
+    return _flatten_stack(levels, g, masks)
 
 
-def _flatten_stack(levels, g: FlatGeom) -> FlatMG:
-    L = to_flat(levels[0].L, g)
-    D, iD = set_diag_flat(L, g)
-    return FlatMG(PoissonLevel(L, D, iD), tuple(levels[1:]))
+def _flatten_stack(levels, g: FlatGeom, masks=None) -> FlatMG:
+    if masks is None:
+        # legacy call signature: only the fine level flat
+        nf = 1
+    else:
+        nf = _n_flat(g, tuple(masks))
+    geoms = [geom_of(lv.L.shape[1:]) for lv in levels[:nf]]
+
+    def flat_level(lv, gl):
+        L = to_flat(lv.L, gl)
+        D, iD = set_diag_flat(L, gl)
+        return PoissonLevel(L, D, iD)
+
+    fine = flat_level(levels[0], geoms[0])
+    mids = tuple(flat_level(lv, gl) for lv, gl in zip(levels[1:nf], geoms[1:]))
+    return FlatMG(fine, mids, tuple(levels[nf:]))
+
+
+def _level(fmg: FlatMG, l: int) -> PoissonLevel:
+    return fmg.fine if l == 0 else fmg.mids[l - 1]
 
 
 def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
-                  smooth_it: int = 4):
-    """One V-cycle with the flat fine level (`Vcycle!`,
-    `MultiLevelPoisson.jl:88-101`)."""
-    f = fmg.fine
-    x, r = jacobi_flat(f.L, f.D, f.iD, x, r, g, it=1, omega=1.0)
-    rc = mg.restrict(from_flat(r, g), masks[0])
-    xc = jnp.zeros_like(rc)
-    if len(fmg.tail) > 1:
-        xc, rc = mg.v_cycle(fmg.tail, masks[1:], xc, rc, omega, (), 0,
-                            smooth_it)
-    xc, rc = gauss_seidel_rb(fmg.tail[0], xc, rc, it=smooth_it, omega=omega)
-    eps = to_flat(mg.prolongate(xc, masks[0]), g)
-    return increment_flat(f.L, f.D, x, r, eps, omega, g)
+                  smooth_it: int = 4, l: int = 0):
+    """One V-cycle level step (`Vcycle!`, `MultiLevelPoisson.jl:88-101`) with
+    levels < len(mids)+1 in flat layout."""
+    geoms = _level_geoms(g, tuple(masks))
+    lv, gl = _level(fmg, l), geoms[l]
+    n_flat = 1 + len(fmg.mids)
+    n_levels = n_flat + len(fmg.tail)
+
+    x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0)
+    rc3 = mg.restrict(from_flat(r, gl), masks[l])
+    if l + 1 < n_flat:
+        clv, gc = _level(fmg, l + 1), geoms[l + 1]
+        rc = to_flat(rc3, gc)
+        xc = jnp.zeros_like(rc)
+        if l + 2 < n_levels:
+            xc, rc = _v_cycle_flat(fmg, masks, xc, rc, omega, g, smooth_it,
+                                   l + 1)
+        xc, rc = gauss_seidel_rb_flat(clv.L, clv.D, clv.iD, xc, rc, gc,
+                                      it=smooth_it, omega=omega)
+        eps3 = mg.prolongate(from_flat(xc, gc), masks[l])
+    else:
+        xc = jnp.zeros_like(rc3)
+        if len(fmg.tail) > 1:
+            xc, rc3 = mg.v_cycle(fmg.tail, masks[l + 1:], xc, rc3, omega,
+                                 (), 0, smooth_it)
+        xc, _ = gauss_seidel_rb(fmg.tail[0], xc, rc3, it=smooth_it,
+                                omega=omega)
+        eps3 = mg.prolongate(xc, masks[l])
+    return increment_flat(lv.L, lv.D, x, r, to_flat(eps3, gl), omega, gl)
 
 
 def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
-                  itmx: int = 32, smooth_it: int = 4,
+                  itmx: int = 32, smooth_it: int | None = None,
                   unroll: int | None = None) -> mg.MGSolveResult:
-    """Flat-fine multigrid solve; same iteration/stopping/gauge semantics as
-    `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas fine-level
-    kernels stay out of `lax.while_loop`, which de-pipelines them on the
-    tunneled backend)."""
+    """Flat multigrid solve; same iteration/stopping/gauge semantics as
+    `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
+    stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
+    backend)."""
+    if smooth_it is None:
+        import os
+        # `it` is an explicit tunable of the reference smoother
+        # (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`); 4 matches it
+        smooth_it = int(os.environ.get("WLTPU_SMOOTH_IT", "4"))
     f = fmg.fine
     dtype = x.dtype
     n_in = (g.Nx - 2) * (g.Ny - 2) * (g.Nz - 2)

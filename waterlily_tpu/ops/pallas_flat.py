@@ -89,18 +89,30 @@ def _rshift(a: jax.Array, s: int) -> jax.Array:
 
 def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
                halos: list[int], n_aux: int, n_out: int, bx: int,
-               vmem_mb: int = 100):
+               vmem_mb: int = 100, cover_all: bool = False,
+               pipeline: bool = False):
     """Run ``body(win_refs, aux, scalars, ox, cos, bx) -> [(bx, S, 128)] *
-    n_out`` over clamped x-row halo windows covering output rows [1, Nx-1).
+    n_out`` over clamped x-row halo windows covering output rows [1, Nx-1)
+    (or [0, Nx) with ``cover_all``).
 
     ``win_refs[k]`` is the raw VMEM ref of input k's window (min(bx+2·halos[k],
     Nx) rows); ``aux`` are (S, 128) plane constants resident per-kernel;
     ``cos[k]`` the per-input center offset.  Output k is written at rows
-    [ox, ox+bx)."""
-    n_cov = Nx - 2
+    [ox, ox+bx).
+
+    With ``pipeline`` the window/output buffers are double-buffered: grid step
+    ix prefetches step ix+1's windows while computing on ix's, so HBM DMAs
+    overlap compute (2x VMEM; use for DMA-bound kernels)."""
+    n_cov = Nx if cover_all else Nx - 2
+    lo_row = 0 if cover_all else 1
     bx = min(bx, n_cov)
     nbx = max(1, -(-n_cov // bx))
     n_win = len(halos)
+    wk = [min(bx + 2 * h, Nx) for h in halos]
+    n_slot = 2 if pipeline else 1
+
+    def ox_of(step):
+        return jnp.minimum(lo_row + step * bx, lo_row + n_cov - bx)
 
     def kernel(*refs):
         scal = refs[:n_scalar]
@@ -108,37 +120,108 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
         aux = refs[n_scalar + n_win:n_scalar + n_win + n_aux]
         outs = refs[n_scalar + n_win + n_aux:n_scalar + n_win + n_aux + n_out]
         k0 = n_scalar + n_win + n_aux + n_out
-        win = refs[k0:k0 + n_win]
-        obuf = refs[k0 + n_win:k0 + n_win + n_out]
+        win = refs[k0:k0 + n_slot * n_win]
+        obuf = refs[k0 + n_slot * n_win:k0 + n_slot * (n_win + n_out)]
         sem_in = refs[-2]
         sem_out = refs[-1]
         ix = pl.program_id(0)
-        ox = jnp.minimum(1 + ix * bx, Nx - 1 - bx)
-        copies, cos = [], []
+
+        def in_copy(step, buf_slot, sem_slot, k):
+            # buf_slot must be a Python int (list index); sem_slot may be
+            # traced — a `.wait()` only needs the semaphore + the byte count,
+            # and both slots' buffers are identically shaped
+            ws = jnp.clip(ox_of(step) - halos[k], 0, Nx - wk[k])
+            return pltpu.make_async_copy(ins[k].at[pl.ds(ws, wk[k])],
+                                         win[n_slot * k + buf_slot],
+                                         sem_in.at[sem_slot, k])
+
+        def out_copy(step, buf_slot, sem_slot, k):
+            return pltpu.make_async_copy(obuf[n_slot * k + buf_slot],
+                                         outs[k].at[pl.ds(ox_of(step), bx)],
+                                         sem_out.at[sem_slot, k])
+
+        ox = ox_of(ix)
+        cos = []
         for k in range(n_win):
-            wk = min(bx + 2 * halos[k], Nx)
-            ws = jnp.clip(ox - halos[k], 0, Nx - wk)
+            ws = jnp.clip(ox - halos[k], 0, Nx - wk[k])
             cos.append(ox - ws)
-            copies.append(pltpu.make_async_copy(
-                ins[k].at[pl.ds(ws, wk)], win[k], sem_in.at[k]))
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
         scalars = [s[0, 0] for s in scal]
-        results = body(win, [a[:] for a in aux], scalars, ox, cos, bx)
-        out_copies = []
-        for k in range(n_out):
-            obuf[k][:] = results[k]
-            c = pltpu.make_async_copy(obuf[k], outs[k].at[pl.ds(ox, bx)],
-                                      sem_out.at[k])
-            c.start()
-            out_copies.append(c)
-        for c in out_copies:
-            c.wait()
+
+        if not pipeline:
+            copies = [in_copy(ix, 0, 0, k) for k in range(n_win)]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            results = body(win, [a[:] for a in aux], scalars, ox, cos, bx)
+            ocs = []
+            for k in range(n_out):
+                obuf[k][:] = results[k]
+                c = out_copy(ix, 0, 0, k)
+                c.start()
+                ocs.append(c)
+            for c in ocs:
+                c.wait()
+            return
+
+        slot = ix % 2
+        nxt = (ix + 1) % 2
+
+        @pl.when(ix == 0)
+        def _():
+            for k in range(n_win):
+                in_copy(0, 0, 0, k).start()
+
+        # prefetch next step's windows into the other slot (parity-guarded so
+        # buffer list indices stay Python ints)
+        @pl.when((ix + 1 < nbx) & (nxt == 0))
+        def _():
+            for k in range(n_win):
+                in_copy(ix + 1, 0, 0, k).start()
+
+        @pl.when((ix + 1 < nbx) & (nxt == 1))
+        def _():
+            for k in range(n_win):
+                in_copy(ix + 1, 1, 1, k).start()
+
+        for k in range(n_win):
+            in_copy(ix, 0, slot, k).wait()
+
+        def compute_and_emit(s):
+            # drain the out-DMA issued for this buffer slot two steps ago
+            @pl.when(ix >= 2)
+            def _():
+                for k in range(n_out):
+                    out_copy(ix - 2, s, s, k).wait()
+            ws_list = [win[n_slot * k + s] for k in range(n_win)]
+            results = body(ws_list, [a[:] for a in aux], scalars, ox, cos, bx)
+            for k in range(n_out):
+                obuf[n_slot * k + s][:] = results[k]
+                out_copy(ix, s, s, k).start()
+
+        @pl.when(slot == 0)
+        def _():
+            compute_and_emit(0)
+
+        @pl.when(slot == 1)
+        def _():
+            compute_and_emit(1)
+
+        @pl.when(ix == nbx - 1)
+        def _():
+            for k in range(n_out):
+                out_copy(ix, 0, slot, k).wait()
+            @pl.when(nbx >= 2)
+            def _():
+                for k in range(n_out):
+                    out_copy(ix - 1, 0, nxt, k).wait()
 
     out_shapes = tuple(jax.ShapeDtypeStruct((Nx, S, 128), jnp.float32)
                        for _ in range(n_out))
+    win_scratch = [pltpu.VMEM((wk[k], S, 128), jnp.float32)
+                   for k in range(n_win) for _ in range(n_slot)]
+    out_scratch = [pltpu.VMEM((bx, S, 128), jnp.float32)
+                   for _ in range(n_out) for _ in range(n_slot)]
 
     def call(scalars, arrays, aux_planes):
         outs = pl.pallas_call(
@@ -150,12 +233,9 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
             out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
                             for _ in range(n_out)),
             out_shape=out_shapes,
-            scratch_shapes=([pltpu.VMEM((min(bx + 2 * halos[k], Nx), S, 128),
-                                        jnp.float32) for k in range(n_win)]
-                            + [pltpu.VMEM((bx, S, 128), jnp.float32)
-                               for _ in range(n_out)]
-                            + [pltpu.SemaphoreType.DMA((n_win,)),
-                               pltpu.SemaphoreType.DMA((n_out,))]),
+            scratch_shapes=(win_scratch + out_scratch
+                            + [pltpu.SemaphoreType.DMA((n_slot, n_win)),
+                               pltpu.SemaphoreType.DMA((n_slot, n_out))]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_mb * 1024 * 1024),
             interpret=_INTERPRET,
@@ -247,7 +327,7 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom) -> jax.Array:
         return pl.run_scoped(inner, pltpu.VMEM(win[0].shape, jnp.float32))
 
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[h, h, h], n_aux=3,
-                      n_out=3, bx=8)
+                      n_out=3, bx=8, pipeline=True)
     nu1 = jnp.asarray(nu, jnp.float32).reshape(1, 1)
     r = call([nu1], [u[0], u[1], u[2]], _planes(g))
     zrow = jnp.zeros((1, S, 128), jnp.float32)
@@ -290,7 +370,7 @@ def bdim_k(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
 
         call = _halo_call(body, Nx, S, n_scalar=1,
                           halos=[0, 1, 1, 1, 0, 0, 0, 0], n_aux=3, n_out=1,
-                          bx=8)
+                          bx=8, pipeline=True)
         dt1 = jnp.asarray(dt, jnp.float32).reshape(1, 1)
         o = call([dt1], [u[i], u0[i], f[i], V[i], mu0[i],
                          mu1[i, 0], mu1[i, 1], mu1[i, 2]], _planes(g))[0]
@@ -300,11 +380,14 @@ def bdim_k(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
 
 # ---------------------------------------------------------------- Poisson
 def _gauss_cascade(rr, idw, Ls, eps, colors, par, ins, g: FlatGeom):
+    # shifted L coefficients are loop-invariant — hoist them (saves 3 window
+    # rotates per color; the cascade is VPU-bound)
+    L0s, L1s, L2s = _rshift(Ls[0], 1), _pshift(Ls[1], g.Nz), _pshift(Ls[2], 1)
     for color in colors:
         s = rr
-        s = s - (_rshift(eps, -1) * Ls[0] + _rshift(eps, 1) * _rshift(Ls[0], 1))
-        s = s - (_pshift(eps, -g.Nz) * Ls[1] + _pshift(eps, g.Nz) * _pshift(Ls[1], g.Nz))
-        s = s - (_pshift(eps, -1) * Ls[2] + _pshift(eps, 1) * _pshift(Ls[2], 1))
+        s = s - (_rshift(eps, -1) * Ls[0] + _rshift(eps, 1) * L0s)
+        s = s - (_pshift(eps, -g.Nz) * Ls[1] + _pshift(eps, g.Nz) * L1s)
+        s = s - (_pshift(eps, -1) * Ls[2] + _pshift(eps, 1) * L2s)
         eps = jnp.where((par == float(color)) & (ins > 0), s * idw, eps)
     return eps
 
@@ -381,6 +464,103 @@ def jacobi_incr(x, r, L, D, iD, omega, g: FlatGeom):
     return gs_incr(x, r, L, D, iD, [], omega, g)
 
 
+def bc_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False) -> jax.Array:
+    """`BC!` (`src/core.jl:199-224`) as one fused kernel over x-row windows —
+    same update sequence as `ops.flat.bc_vector_flat` (constant Dirichlet
+    normal slabs, tangential ghost copies, optional exit-plane preservation),
+    but one HBM pass per component instead of an XLA where-chain that
+    materializes the field several times."""
+    Nx, S = g.Nx, g.S
+    D = u.shape[0]
+
+    def body(win, aux, scalars, ox, cos, bx):
+        yv, zv, _ = aux
+
+        def inner(s_ref):
+            outs = []
+            for i in range(D):
+                co = cos[i]
+                uw = win[i][:]
+                Ui = scalars[i]
+                # j = 0 (x direction): ghost rows + first interior face
+                ix = (jax.lax.broadcasted_iota(jnp.int32, uw.shape, 0)
+                      + (ox - co))
+                if i == 0:
+                    if save_exit:
+                        # x-high exit plane keeps its current value
+                        ui = jnp.where((ix == 0) | (ix == 1), Ui, uw)
+                    else:
+                        ui = jnp.where((ix == 0) | (ix == 1) | (ix == Nx - 1),
+                                       Ui, uw)
+                else:
+                    nb_lo = _rshift(uw, 1)   # row k reads k+1 (ghost row 0)
+                    nb_hi = _rshift(uw, -1)  # row k reads k-1 (row Nx-1)
+                    ui = jnp.where(ix == 0, nb_lo,
+                                   jnp.where(ix == Nx - 1, nb_hi, uw))
+                # j = 1, 2 (in-plane): sequential like the reference's j loop
+                for j in range(1, D):
+                    idx = yv if j == 1 else zv
+                    n = g.Ny if j == 1 else g.Nz
+                    step = g.Nz if j == 1 else 1
+                    if i == j:
+                        ui = jnp.where((idx == 0) | (idx == n - 1)
+                                       | (idx == 1), Ui, ui)
+                    else:
+                        ui = jnp.where(idx == 0, _pshift(ui, step),
+                                       jnp.where(idx == n - 1,
+                                                 _pshift(ui, -step), ui))
+                s_ref[:] = ui
+                outs.append(s_ref[pl.ds(co, bx)])
+            return outs
+
+        return pl.run_scoped(inner, pltpu.VMEM(win[0].shape, jnp.float32))
+
+    call = _halo_call(body, Nx, S, n_scalar=D, halos=[1] * D, n_aux=3,
+                      n_out=D, bx=16, cover_all=True)
+    scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
+    outs = call(scal, [u[i] for i in range(D)], _planes(g))
+    return jnp.stack(outs)
+
+
+def increment_k(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
+                D: jax.Array, omega, g: FlatGeom):
+    """Fused correction increment (`increment!`, `src/Poisson.jl:100-104`):
+
+        x += ω·eps (interior),  r -= ω·(A·eps)   in one HBM pass
+    """
+    Nx, S = g.Nx, g.S
+
+    def body(win, aux, scalars, ox, cos, bx):
+        om = scalars[0]
+        _, _, ins = aux
+        xw, rw, ew, l0, l1, l2, dw = win
+        co = cos[2]
+
+        def inner(e_ref):
+            e_ref[:] = ew[:]
+            e_c = e_ref[pl.ds(co, bx)]
+            s = e_c * dw[:]
+            s = s + e_ref[pl.ds(co - 1, bx)] * l0[pl.ds(co, bx)] \
+                + e_ref[pl.ds(co + 1, bx)] * l0[pl.ds(co + 1, bx)]
+            l1c = l1[pl.ds(co, bx)]
+            l2c = l2[pl.ds(co, bx)]
+            s = s + _pshift(e_c, -g.Nz) * l1c + _pshift(e_c, g.Nz) * _pshift(l1c, g.Nz)
+            s = s + _pshift(e_c, -1) * l2c + _pshift(e_c, 1) * _pshift(l2c, 1)
+            gx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ox
+            m = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
+            return [xw[:] + om * e_c * m, rw[:] - om * s * m]
+
+        return pl.run_scoped(inner, pltpu.VMEM(ew.shape, jnp.float32))
+
+    call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, 0, 1, 1, 1, 1, 0],
+                      n_aux=3, n_out=2, bx=8, pipeline=True)
+    om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
+    xo, ro = call([om1], [x, r, eps, L[0], L[1], L[2], D], _planes(g))
+    xo = _fix_ghost_rows(xo, x[0:1], x[-1:])
+    ro = _fix_ghost_rows(ro, r[0:1], r[-1:])
+    return xo, ro
+
+
 def mult_k(x: jax.Array, L: jax.Array, D: jax.Array, g: FlatGeom) -> jax.Array:
     """A·x (`mult`, `src/Poisson.jl:63-76`); ghosts/tail zero."""
     Nx, S = g.Nx, g.S
@@ -406,7 +586,7 @@ def mult_k(x: jax.Array, L: jax.Array, D: jax.Array, g: FlatGeom) -> jax.Array:
         return pl.run_scoped(inner, pltpu.VMEM(xw.shape, jnp.float32))
 
     call = _halo_call(body, Nx, S, n_scalar=0, halos=[1, 1, 1, 1, 0],
-                      n_aux=3, n_out=1, bx=8)
+                      n_aux=3, n_out=1, bx=8, pipeline=True)
     o = call([], [x, L[0], L[1], L[2], D], _planes(g))[0]
     zrow = jnp.zeros((1, S, 128), jnp.float32)
     return _fix_ghost_rows(o, zrow, zrow)

@@ -118,7 +118,7 @@ class Simulation:
             self._flat = {
                 "g": gm,
                 "state": ff.state_to_flat(self.flow.state, gm),
-                "fmg": mgflat._flatten_stack(self.levels, gm),
+                "fmg": mgflat._flatten_stack(self.levels, gm, self.masks),
             }
             self._flat_fresh = False   # flat state newer than flow._state?
             self.flow._refresh = self._pull_flat
@@ -161,7 +161,7 @@ class Simulation:
 
             gm = self._flat["g"]
             st = self._flat["state"]
-            self._flat["fmg"] = mgflat._flatten_stack(self.levels, gm)
+            self._flat["fmg"] = mgflat._flatten_stack(self.levels, gm, self.masks)
             from .ops.flat import to_flat
             self._flat["state"] = dataclasses.replace(
                 st, V=to_flat(V, gm), mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
