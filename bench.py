@@ -70,13 +70,28 @@ def main():
                                                dt, t0)
             return st, dt_n, it
 
-    step = jax.jit(step)
-    # warmup: compile + 2 steps (lets dt settle to the CFL limit)
-    for _ in range(2):
-        state, dt_n, _ = step(state, solver, dt, t0)
-        t0 = t0 + dt
-        dt = dt_n
-    float(probe(state))
+    # warmup: compile + 2 steps (lets dt settle to the CFL limit).  The
+    # remote compiler can OOM on the fully cond-unrolled MG solver — retry
+    # with shallower unrolls (the solver rereads WLTPU_MG_UNROLL per trace).
+    step_jit = None
+    for unroll in (os.environ.get("WLTPU_MG_UNROLL", "8"), "6", "4", "2", "0"):
+        os.environ["WLTPU_MG_UNROLL"] = unroll
+        try:
+            step_jit = jax.jit(step)
+            s2, d2, t2 = state, dt, t0
+            for _ in range(2):
+                s2, dt_n, _ = step_jit(s2, solver, d2, t2)
+                t2 = t2 + d2
+                d2 = dt_n
+            float(probe(s2))
+            state, dt, t0 = s2, d2, t2
+            break
+        except Exception as e:
+            print(f"# unroll={unroll} failed: {str(e)[:120]}", file=sys.stderr)
+            step_jit = None
+    if step_jit is None:
+        raise RuntimeError("all unroll levels failed to compile")
+    step = step_jit
 
     t_base = time.perf_counter()
     float(probe(state))

@@ -1,7 +1,10 @@
 """2D flow over a circle at Re=250 — the reference README example
 (`/root/reference/README.md:39-90`): drag-coefficient history via the BDIM
 pressure force.  Run: python examples/circle.py [t_end]"""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

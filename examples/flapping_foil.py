@@ -1,7 +1,10 @@
 """2D flapping (pitching + heaving) foil with per-step re-measure — the
 moving-body configuration of BASELINE.json (config 2).
 Run: python examples/flapping_foil.py [t_end]"""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,9 @@
 """3D Taylor-Green vortex: kinetic-energy / enstrophy decay validation
 (BASELINE.json config 3).  Run: python examples/tgv3d.py [L] [t_end]"""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

@@ -112,3 +112,12 @@ def test_increment_k():
     plf._INTERPRET = True
     assert np.allclose(np.asarray(got[0]), np.asarray(want[0]), atol=2e-5)
     assert np.allclose(np.asarray(got[1]), np.asarray(want[1]), atol=2e-5)
+
+
+def test_div_k():
+    g, u, *_ = _fields()
+    got = plf.div_k(u, g)
+    plf._INTERPRET = False
+    want = fo.div_flat(u, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-6)

@@ -213,6 +213,10 @@ def exit_bc_flat(u: jax.Array, u_old: jax.Array, dt, g: FlatGeom) -> jax.Array:
 def div_flat(u: jax.Array, g: FlatGeom) -> jax.Array:
     """Cell-centered divergence (`div`, `src/Flow.jl:17-23`); ghosts/tail
     zero."""
+    from . import pallas_flat as plf
+
+    if plf.use_pallas_flat(u):
+        return plf.div_k(u, g)
     s = (xshift(u[0], 1) - u[0]) + (fshift(u[1], g.Nz) - u[1]) \
         + (fshift(u[2], 1) - u[2])
     return zero_ghost_flat(s, g)

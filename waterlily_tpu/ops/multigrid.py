@@ -243,11 +243,17 @@ class MGSolveResult(NamedTuple):
 
 def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
              itmx: int = 32, perdir: tuple[int, ...] = (),
-             smooth_it: int = 4, ctx=None, n_dist: int = 0) -> MGSolveResult:
+             smooth_it: int | None = None, ctx=None,
+             n_dist: int = 0) -> MGSolveResult:
     """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
     V-cycle + fine smooth per iteration, adaptive relaxation
     ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
     ``L1 < tol/10·N`` ∧ ``Linf < tol``, all on device scalars."""
+    if smooth_it is None:
+        import os
+        # `it` is an explicit tunable of the reference smoother
+        # (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`)
+        smooth_it = int(os.environ.get("WLTPU_SMOOTH_IT", "4"))
     p = levels[0]
     dtype = x.dtype
     fine_ctx = ctx if n_dist > 0 else None

@@ -396,11 +396,14 @@ def _gs_bx(S: int, h: int) -> int:
     """Largest row-block size whose windows + register-spill slots fit VMEM.
     The cascade keeps ~19 full-window temporaries live (measured from the
     XLA OOM report at 256^3: 101MB spill for (20, 528, 128) windows), plus
-    6 scratch windows — model ~25 window-rows of live state, budget 90MB."""
+    6 scratch windows — model ~25 window-rows of live state, budget 110MB
+    with the VMEM limit raised to 128MB (at 256^3/it=4 this selects bx=6:
+    measured 4.77 ms vs 7.1 at bx=4, and bx=8 regresses to 5.7 — spills
+    start thrashing)."""
     per_row = S * 128 * 4
     best = 4
     for bx in (6, 8, 12, 16, 24, 32):
-        if 25 * (bx + 2 * h) * per_row <= 90 * 1024 * 1024:
+        if 25 * (bx + 2 * h) * per_row <= 110 * 1024 * 1024:
             best = bx
     return best
 
@@ -450,7 +453,7 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
         return pl.run_scoped(inner, pltpu.VMEM(rr.shape, jnp.float32))
 
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, h, h, 0, h, h, h],
-                      n_aux=3, n_out=2, bx=_gs_bx(S, h))
+                      n_aux=3, n_out=2, bx=_gs_bx(S, h), vmem_mb=128)
     om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
     xo, ro = call([om1], [x, r, iD, D, L[0], L[1], L[2]], _planes(g))
     zrow = jnp.zeros((1, S, 128), jnp.float32)
@@ -520,6 +523,31 @@ def bc_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False) -> jax.Array:
     scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
     outs = call(scal, [u[i] for i in range(D)], _planes(g))
     return jnp.stack(outs)
+
+
+def div_k(u: jax.Array, g: FlatGeom) -> jax.Array:
+    """Cell-centered divergence (`div`, `src/Flow.jl:17-23`); ghosts/tail
+    zero.  One fused pass (the jnp version materializes a full copy per
+    shift)."""
+    Nx, S = g.Nx, g.S
+
+    def body(win, aux, scalars, ox, cos, bx):
+        _, _, ins = aux
+        u0w, u1w, u2w = win
+        co = cos[0]
+        c0 = u0w[pl.ds(co, bx)]
+        u1c = u1w[pl.ds(co, bx)]
+        u2c = u2w[pl.ds(co, bx)]
+        s = (u0w[pl.ds(co + 1, bx)] - c0) \
+            + (_pshift(u1c, g.Nz) - u1c) + (_pshift(u2c, 1) - u2c)
+        gx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ox
+        return [s * ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)]
+
+    call = _halo_call(body, Nx, S, n_scalar=0, halos=[1, 0, 0], n_aux=3,
+                      n_out=1, bx=16, pipeline=True)
+    o = call([], [u[0], u[1], u[2]], _planes(g))[0]
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    return _fix_ghost_rows(o, zrow, zrow)
 
 
 def increment_k(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
