@@ -121,3 +121,28 @@ def test_div_k():
     want = fo.div_flat(u, g)
     plf._INTERPRET = True
     assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", ["predictor", "corrector"])
+def test_pred_corr_k(mode):
+    # fused conv_diff + BDIM + interior scale vs the composed reference ops
+    g, u, x, r, L, D, iD, ks = _fields()
+    u0 = u + 0.1
+    V = 0.1 * u
+    mu0 = jnp.abs(u)
+    mu1 = jnp.stack([0.05 * u, 0.1 * u, 0.15 * u], axis=0)
+    dt = jnp.float32(0.2)
+    nu = jnp.float32(0.05)
+    kb, sc = (0.0, 1.0) if mode == "predictor" else (1.0, 0.5)
+    u_adv = u0 if mode == "predictor" else u
+    got = plf.pred_corr_k(u_adv, u_adv if mode == "corrector" else u0, u0,
+                          V, mu0, mu1, dt, nu, fl.quick, kb, sc, g)
+    plf._INTERPRET = False
+    from waterlily_tpu.models.flowflat import _scale_interior_flat
+    f = ff.conv_diff_flat(u_adv, fl.quick, nu, g)
+    base = u_adv if mode == "corrector" else _scale_interior_flat(u0, 0.0, g)
+    want = ff.bdim_flat(base, u0, f, V, mu0, mu1, dt, g)
+    if sc != 1.0:
+        want = _scale_interior_flat(want, sc, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=3e-5)

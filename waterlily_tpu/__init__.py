@@ -17,4 +17,15 @@ from .models import (AutoBody, Body, Flow, FlowCfg, FlowState, NoBody,  # noqa: 
 from .ops import bc, grid, multigrid, poisson  # noqa: F401
 from .simulation import Simulation  # noqa: F401
 
+
+def set_backend(name: str):
+    """Select the execution platform ("cpu" / "tpu" / "gpu") — the analog of
+    the reference's Preferences-persisted `set_backend`
+    (`src/core.jl:85-96`); here it is just the JAX platform, settable until
+    the first computation runs."""
+    import jax
+
+    jax.config.update("jax_platforms", name)
+
+
 __version__ = "0.1.0"

@@ -134,23 +134,41 @@ def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom):
     return u, p, res.iters, res.stats
 
 
+def _half_step(u_adv, u_base, u0, state, cfg, dt, keep_base, scale, g):
+    """conv_diff → BDIM → interior scale.  The fully-fused kernel
+    (`pred_corr_k`) is opt-in (WLTPU_FUSED_PC=1): measured 13.0 ms vs 13.1
+    for the separate pair at 256^3 — the HBM savings are eaten by VMEM
+    spills of the extended-window QUICK cascade."""
+    import os
+
+    from ..ops import pallas_flat as plf
+
+    if (plf.use_pallas_flat(u_adv)
+            and os.environ.get("WLTPU_FUSED_PC", "0") == "1"):
+        return plf.pred_corr_k(u_adv, u_base, u0, state.V, state.mu0,
+                               state.mu1, dt, state.nu, cfg.scheme,
+                               keep_base, scale, g)
+    f = conv_diff_flat(u_adv, cfg.scheme, state.nu, g)
+    u = u_base if keep_base else _scale_interior_flat(u_base, 0.0, g)
+    u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g)
+    if scale != 1.0:
+        u = _scale_interior_flat(u, scale, g)
+    return u
+
+
 def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
                        g: FlatGeom, dt, t0):
     """One full time step on flat state (`mom_step!`, `src/Flow.jl:156-167`)."""
     u0 = state.u
     state = dataclasses.replace(state, u0=u0)
     # predictor (`Flow.jl:157-161`)
-    u = _scale_interior_flat(u0, 0.0, g)
-    f = conv_diff_flat(u0, cfg.scheme, state.nu, g)
-    u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g)
+    u = _half_step(u0, u0, u0, state, cfg, dt, 0.0, 1.0, g)
     u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
     if cfg.exit_bc:
         u = exit_bc_flat(u, u0, dt, g)
     u, p, n1, s1 = _project_flat(u, state.p, fmg, masks, dt, cfg, g)
     # corrector (`Flow.jl:163-165`)
-    f = conv_diff_flat(u, cfg.scheme, state.nu, g)
-    u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g)
-    u = _scale_interior_flat(u, 0.5, g)
+    u = _half_step(u, u, u0, state, cfg, dt, 1.0, 0.5, g)
     u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
     u, p, n2, s2 = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g)
     state = dataclasses.replace(state, u=u, p=p)

@@ -31,8 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flat import FlatGeom, yz_planes
 
-__all__ = ["use_pallas_flat", "conv_diff_k", "bdim_k", "jacobi_incr",
-           "gs_incr", "mult_k"]
+__all__ = ["use_pallas_flat", "conv_diff_k", "bdim_k", "pred_corr_k",
+           "jacobi_incr", "gs_incr", "mult_k", "increment_k", "div_k",
+           "bc_k"]
 
 _INTERPRET = False
 _IN_LOOP = False     # trace-time: inside a lax.while_loop body Pallas custom
@@ -228,9 +229,9 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
             kernel,
             grid=(nbx,),
             in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar
-                      + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_win
+                      + [pl.BlockSpec(memory_space=pl.ANY)] * n_win
                       + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_aux),
-            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+            out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
                             for _ in range(n_out)),
             out_shape=out_shapes,
             scratch_shapes=(win_scratch + out_scratch
@@ -332,6 +333,116 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom) -> jax.Array:
     r = call([nu1], [u[0], u[1], u[2]], _planes(g))
     zrow = jnp.zeros((1, S, 128), jnp.float32)
     return jnp.stack([_fix_ghost_rows(rk, zrow, zrow) for rk in r])
+
+
+# ------------------------------------------------- fused predictor/corrector
+def pred_corr_k(u_adv: jax.Array, u_base: jax.Array, u0: jax.Array,
+                V: jax.Array, mu0: jax.Array, mu1: jax.Array, dt, nu,
+                scheme: Callable, keep_base: float, scale: float,
+                g: FlatGeom) -> jax.Array:
+    """One fused half-step: conv_diff(u_adv) → BDIM → interior scale
+    (`mom_step!` predictor/corrector bodies, `src/Flow.jl:157-165`), with no
+    intermediate f/fp round-trips to HBM:
+
+        f*  = u0 + dt·conv_diff(u_adv) − V            (extended rows)
+        upd = ½ Σⱼ μ₁[i,j]·(f*[+eⱼ] − f*[−eⱼ]) + V + μ₀·f*
+        out = interior ? scale·(keep_base·u_base + upd) : u_base
+
+    predictor: (u_adv=u0, u_base=u0, keep_base=0, scale=1) — reproduces
+    `scale_u!(0)` + `BDIM!`; corrector: (u_adv=u_base=projected u,
+    keep_base=1, scale=0.5) — the trapezoidal blend."""
+    Nx, S = g.Nx, g.S
+    steps = (None, g.Nz, 1)
+
+    def body(win, aux, scalars, ox, cos, bx):
+        dt_s, nu_s, kb, sc = scalars
+        yv, zv, ins = aux
+        uadv = win[0:3]
+        u0w = win[3:6]
+        vw = win[6:9]
+        ubw = win[9:12]
+        m0w = win[12:15]
+        m1w = win[15:24]
+        co3 = cos[0]
+        bxe = bx + 2          # extended rows [ox-1, ox+bx+1)
+
+        def inner(phi_ref):
+            outs = []
+            gx_e = (jax.lax.broadcasted_iota(jnp.int32, (bxe, S, 128), 0)
+                    + ox - 1)
+            m_e = ins * jnp.where((gx_e >= 1) & (gx_e <= Nx - 2), 1.0, 0.0)
+            m_c = m_e[1:bx + 1]
+            for i in range(3):
+                fw = uadv[i][:]
+                ri = jnp.zeros((bxe, S, 128), jnp.float32)
+                for j in range(3):
+                    st = steps[j]
+                    if st is None:
+                        f_m1 = _rshift(fw, -1)
+                        f_m2 = _rshift(fw, -2)
+                        f_p1 = _rshift(fw, 1)
+                        jf = (jax.lax.broadcasted_iota(jnp.int32, fw.shape, 0)
+                              + (ox - co3))
+                        n_j = Nx
+                    else:
+                        f_m1 = _pshift(fw, -st)
+                        f_m2 = _pshift(fw, -2 * st)
+                        f_p1 = _pshift(fw, st)
+                        jf = yv if j == 1 else zv
+                        n_j = g.Ny if j == 1 else g.Nz
+                    uj = uadv[j][:]
+                    if i == 0:
+                        ua = 0.5 * (uj + _rshift(uj, -1))
+                    else:
+                        ua = 0.5 * (uj + _pshift(uj, -steps[i]))
+                    cds_lo = 0.5 * (fw + f_m1)
+                    up = jnp.where(jf == 1, cds_lo, scheme(f_m2, f_m1, fw))
+                    dn = jnp.where(jf == n_j - 1, cds_lo,
+                                   scheme(f_p1, fw, f_m1))
+                    phi = ua * jnp.where(ua > 0, up, dn) - nu_s * (fw - f_m1)
+                    # NOTE: the scratch has one spare row beyond the window —
+                    # the +1-shifted read below can reach co3-1+bxe+1 =
+                    # window+1 rows at clamped (top / whole-array) blocks;
+                    # the spare row only lands on extended rows that are
+                    # ghosts, whose flux m_e masks away — but it must be a
+                    # finite value (0), not uninitialized memory: 0·NaN = NaN
+                    phi_ref[0:phi.shape[0]] = phi
+                    phi_ref[phi.shape[0]:phi.shape[0] + 1] = jnp.zeros(
+                        (1,) + phi.shape[1:], jnp.float32)
+                    phi_c = phi_ref[pl.ds(co3 - 1, bxe)]
+                    if st is None:
+                        phi_n = phi_ref[pl.ds(co3, bxe)]
+                    else:
+                        phi_n = _pshift(phi_c, st)
+                    ri = ri + (phi_c - phi_n)
+                # f* on the extended rows (u0/V windows are exactly bxe rows)
+                fp = u0w[i][:] + dt_s * (ri * m_e) - vw[i][:]
+                fp_c = fp[1:bx + 1]
+                acc = m1w[3 * i + 0][:] * (fp[2:bx + 2] - fp[0:bx])
+                acc = acc + m1w[3 * i + 1][:] * (_pshift(fp_c, g.Nz)
+                                                 - _pshift(fp_c, -g.Nz))
+                acc = acc + m1w[3 * i + 2][:] * (_pshift(fp_c, 1)
+                                                 - _pshift(fp_c, -1))
+                upd = 0.5 * acc + vw[i][1:bx + 1] + m0w[i][:] * fp_c
+                ub = ubw[i][:]
+                outs.append(m_c * sc * (kb * ub + upd) + (1.0 - m_c) * ub)
+            return outs
+
+        spare = (win[0].shape[0] + 1,) + win[0].shape[1:]
+        return pl.run_scoped(inner, pltpu.VMEM(spare, jnp.float32))
+
+    call = _halo_call(body, Nx, S, n_scalar=4,
+                      halos=[3, 3, 3, 1, 1, 1, 1, 1, 1] + [0] * 15,
+                      n_aux=3, n_out=3, bx=6, vmem_mb=128)
+    scal = [jnp.asarray(v, jnp.float32).reshape(1, 1)
+            for v in (dt, nu, keep_base, scale)]
+    arrays = ([u_adv[i] for i in range(3)] + [u0[i] for i in range(3)]
+              + [V[i] for i in range(3)] + [u_base[i] for i in range(3)]
+              + [mu0[i] for i in range(3)]
+              + [mu1[i, j] for i in range(3) for j in range(3)])
+    outs = call(scal, arrays, _planes(g))
+    return jnp.stack([_fix_ghost_rows(o, u_base[i][0:1], u_base[i][-1:])
+                      for i, o in enumerate(outs)])
 
 
 # ---------------------------------------------------------------- BDIM
@@ -580,8 +691,10 @@ def increment_k(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
 
         return pl.run_scoped(inner, pltpu.VMEM(ew.shape, jnp.float32))
 
+    # NOTE: pipeline=False — the double-buffered variant is no faster
+    # standalone and collapses ~10x inside the cond-unrolled solver
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, 0, 1, 1, 1, 1, 0],
-                      n_aux=3, n_out=2, bx=8, pipeline=True)
+                      n_aux=3, n_out=2, bx=8)
     om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
     xo, ro = call([om1], [x, r, eps, L[0], L[1], L[2], D], _planes(g))
     xo = _fix_ghost_rows(xo, x[0:1], x[-1:])

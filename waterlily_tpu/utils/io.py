@@ -121,6 +121,15 @@ def _read_vti(fname: str) -> dict[str, np.ndarray]:
     return out
 
 
+def default_attrib() -> dict:
+    """The default VTK output fields (`default_attrib`,
+    `WriteVTKExt.jl:16-19`): velocity + pressure closures over the sim."""
+    return {
+        "Velocity": lambda sim: np.asarray(sim.flow.state.u),
+        "Pressure": lambda sim: np.asarray(sim.flow.state.p),
+    }
+
+
 class VTKWriter:
     """Paraview collection writer (`vtkWriter`, `WriteVTKExt.jl:21-73`):
     one ``.vti`` per `write` call, indexed by a ``.pvd`` collection with the
@@ -132,10 +141,7 @@ class VTKWriter:
         self.fname = fname
         self.dir = dirname
         os.makedirs(dirname, exist_ok=True)
-        self.attrib = attrib or {
-            "Velocity": lambda sim: np.asarray(sim.flow.state.u),
-            "Pressure": lambda sim: np.asarray(sim.flow.state.p),
-        }
+        self.attrib = attrib or default_attrib()
         self.entries: list[tuple[float, str]] = []
         self.count = 0
 
