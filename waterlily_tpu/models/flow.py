@@ -91,6 +91,9 @@ class FlowCfg:
     dtype: Any = jnp.float32
     tol: float = 2e-3               # pressure solver tolerance
     itmx: int = 32                  # pressure solver max iterations
+    smooth_it: int = 4              # MG smoother sweeps (`it`, `Poisson.jl:135`)
+    mg_unroll: int = 8              # cond-unrolled MG iterations (TPU pipelining)
+    fused_pc: bool = False          # fully-fused predictor/corrector kernel
 
     @property
     def D(self) -> int:
@@ -343,6 +346,7 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
     solver = solve_fn if solve_fn is not None else (
         lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg_implicit(
             lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir,
+            smooth_it=cfg.smooth_it, unroll=cfg.mg_unroll,
             ctx=ctx, n_dist=n_dist))
     res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)
     x = res.x
@@ -430,12 +434,17 @@ class Flow:
     def __init__(self, N: tuple[int, ...], ubc, dt: float = 0.25, nu: float = 0.0,
                  g: Optional[Callable] = None, u0=None, perdir: tuple[int, ...] = (),
                  exit_bc: bool = False, scheme: Callable = quick,
-                 dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32):
+                 dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
+                 smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
+                 fused_pc: Optional[bool] = None):
         D = len(N)
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
-                           scheme=scheme, dtype=dtype, tol=tol, itmx=itmx)
+                           scheme=scheme, dtype=dtype, tol=tol, itmx=itmx,
+                           smooth_it=_env_int("WLTPU_SMOOTH_IT", smooth_it, 4),
+                           mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 8),
+                           fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)))
         if u0 is None:
             if callable(ubc):
                 u = apply_vector(lambda i, x: ubc(i, x, jnp.asarray(0.0, dtype)),
@@ -506,6 +515,16 @@ class Flow:
 def exit_bc_init(u: jax.Array) -> jax.Array:
     """Constructor-time `exitBC!(u,u,0)` (`Flow.jl:141`)."""
     return exit_bc(u, u, 0.0)
+
+
+def _env_int(name: str, explicit, default: int) -> int:
+    """Explicit kwarg > environment variable > default — resolved once at
+    construction time so no `os.environ` read happens inside traced code."""
+    import os
+
+    if explicit is not None:
+        return int(explicit)
+    return int(os.environ.get(name, default))
 
 
 def _norm_ubc(ubc):

@@ -127,7 +127,8 @@ def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom):
     z = div_flat(u, g)
     x = p * dt_w
     res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
-                               itmx=cfg.itmx)
+                               itmx=cfg.itmx, smooth_it=cfg.smooth_it,
+                               unroll=cfg.mg_unroll)
     u = proj_correct_flat(u, res.x, fmg.fine.L, g)
     p = res.x / dt_w
     u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
@@ -136,15 +137,12 @@ def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom):
 
 def _half_step(u_adv, u_base, u0, state, cfg, dt, keep_base, scale, g):
     """conv_diff → BDIM → interior scale.  The fully-fused kernel
-    (`pred_corr_k`) is opt-in (WLTPU_FUSED_PC=1): measured 13.0 ms vs 13.1
+    (`pred_corr_k`) is opt-in (`FlowCfg.fused_pc`): measured 13.0 ms vs 13.1
     for the separate pair at 256^3 — the HBM savings are eaten by VMEM
     spills of the extended-window QUICK cascade."""
-    import os
-
     from ..ops import pallas_flat as plf
 
-    if (plf.use_pallas_flat(u_adv)
-            and os.environ.get("WLTPU_FUSED_PC", "0") == "1"):
+    if plf.use_pallas_flat(u_adv) and cfg.fused_pc:
         return plf.pred_corr_k(u_adv, u_base, u0, state.V, state.mu0,
                                state.mu1, dt, state.nu, cfg.scheme,
                                keep_base, scale, g)

@@ -128,17 +128,14 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
 
 
 def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
-                  itmx: int = 32, smooth_it: int | None = None,
-                  unroll: int | None = None) -> mg.MGSolveResult:
+                  itmx: int = 32, smooth_it: int = 4,
+                  unroll: int = 8) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
-    backend)."""
-    if smooth_it is None:
-        import os
-        # `it` is an explicit tunable of the reference smoother
-        # (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`); 4 matches it
-        smooth_it = int(os.environ.get("WLTPU_SMOOTH_IT", "4"))
+    backend).  ``smooth_it`` matches the reference smoother tunable
+    (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`); both knobs come from
+    `FlowCfg` — no environment reads at trace time."""
     f = fmg.fine
     dtype = x.dtype
     n_in = (g.Nx - 2) * (g.Ny - 2) * (g.Nz - 2)
@@ -171,9 +168,6 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     carry = (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats)
     from . import pallas_flat as plf
 
-    if unroll is None:
-        import os
-        unroll = int(os.environ.get("WLTPU_MG_UNROLL", "8"))
     k_unroll = min(itmx, unroll) if plf.use_pallas_flat(x) else 0
     for _ in range(k_unroll):
         carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)

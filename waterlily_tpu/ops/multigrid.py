@@ -243,17 +243,15 @@ class MGSolveResult(NamedTuple):
 
 def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
              itmx: int = 32, perdir: tuple[int, ...] = (),
-             smooth_it: int | None = None, ctx=None,
+             smooth_it: int = 4, unroll: int = 8, ctx=None,
              n_dist: int = 0) -> MGSolveResult:
     """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
     V-cycle + fine smooth per iteration, adaptive relaxation
     ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
-    ``L1 < tol/10·N`` ∧ ``Linf < tol``, all on device scalars."""
-    if smooth_it is None:
-        import os
-        # `it` is an explicit tunable of the reference smoother
-        # (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`)
-        smooth_it = int(os.environ.get("WLTPU_SMOOTH_IT", "4"))
+    ``L1 < tol/10·N`` ∧ ``Linf < tol``, all on device scalars.
+    ``smooth_it`` matches the reference smoother tunable (`GaussSeidelRB!`
+    ``it=4``, `Poisson.jl:135-141`); both knobs come from `FlowCfg` — no
+    environment reads at trace time."""
     p = levels[0]
     dtype = x.dtype
     fine_ctx = ctx if n_dist > 0 else None
@@ -294,7 +292,7 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
     # calls de-pipeline ~15x on the tunneled backend; `lax.cond` is free and
     # skips converged iterations).  The unroll only pays off when the fine
     # level actually uses the kernels; otherwise keep the compact while_loop.
-    unroll = min(itmx, 8) if pl3.use_pallas(x, ctx if n_dist > 0 else None) else 0
+    unroll = min(itmx, unroll) if pl3.use_pallas(x, ctx if n_dist > 0 else None) else 0
     for _ in range(unroll):
         carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
     if itmx > unroll:
@@ -332,7 +330,7 @@ def canonical_gauge(x: jax.Array, iD: jax.Array, ctx=None) -> jax.Array:
 def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
                       tol: float = 2e-3, itmx: int = 32,
                       perdir: tuple[int, ...] = (), smooth_it: int = 4,
-                      ctx=None, n_dist: int = 0) -> MGSolveResult:
+                      unroll: int = 8, ctx=None, n_dist: int = 0) -> MGSolveResult:
     """`solve_mg` with implicit forward-mode differentiation.
 
     Differentiating *through* the iterative solver gives lagged tangents: the
@@ -357,8 +355,8 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
     @jax.custom_jvp
     def _solve(levels, x, z):
         return solve_mg(levels, masks, x, z, tol=tol, itmx=itmx,
-                        perdir=perdir, smooth_it=smooth_it, ctx=ctx,
-                        n_dist=n_dist)
+                        perdir=perdir, smooth_it=smooth_it, unroll=unroll,
+                        ctx=ctx, n_dist=n_dist)
 
     @_solve.defjvp
     def _solve_jvp(primals, tangents):
@@ -371,8 +369,8 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
         dA_x = _mult_raw(PoissonLevel(dfine.L, dfine.D, dfine.iD), xs, fine_ctx)
         rhs = dz - dA_x
         dres = solve_mg(levels, masks, dx0, rhs, tol=tol, itmx=itmx,
-                        perdir=perdir, smooth_it=smooth_it, ctx=ctx,
-                        n_dist=n_dist)
+                        perdir=perdir, smooth_it=smooth_it, unroll=unroll,
+                        ctx=ctx, n_dist=n_dist)
         f0 = np.zeros(res.iters.shape, jax.dtypes.float0)
         dout = MGSolveResult(dres.x, dres.r, f0, jnp.zeros_like(res.stats))
         return res, dout

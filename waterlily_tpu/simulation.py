@@ -70,6 +70,8 @@ class Simulation:
                  perdir: tuple[int, ...] = (), u0=None, exit_bc: bool = False,
                  scheme: Callable = fl.quick, body: Optional[Body] = None,
                  dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
+                 smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
+                 fused_pc: Optional[bool] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
         if U is None:
@@ -78,9 +80,11 @@ class Simulation:
             U = math.sqrt(sum(float(v) ** 2 for v in ubc))
         self.U, self.L, self.eps = U, L, eps
         ctor = flow_ctor or fl.Flow
+        tuning = {} if flow_ctor is not None else dict(
+            smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc)
         self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
                          perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
-                         dtype=dtype, tol=tol, itmx=itmx)
+                         dtype=dtype, tol=tol, itmx=itmx, **tuning)
         self.body = body if body is not None else NoBody()
         cfg = self.flow.cfg
         if not isinstance(self.body, NoBody):
