@@ -47,6 +47,12 @@ def main(N=128, t_end=10.0, donut=False):
                                     sim.body, sim.time))
         cd = -2 * (fp[0] + fv[0]) / area
         print(f"tU/L={sim.sim_time:6.2f}  C_d={cd:6.3f}  dt={sim.flow.dt[-1]:.3f}")
+    # final frame: vorticity isosurface + body mesh (marching tetrahedra,
+    # the `viz!` 3D analog — `ext/WaterLilyMakieExt.jl:153-284`)
+    from waterlily_tpu.utils.mesh import viz3d
+
+    out = viz3d(sim, fname="sphere_iso.png")
+    print("isosurface render:", out)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ from .models.body import Body, NoBody, measure_fill, measure_sdf
 from .ops import multigrid as mg
 from .ops import poisson as ps
 
-__all__ = ["Simulation", "pcg_solve_fn"]
+__all__ = ["Simulation", "pcg_solve_fn", "check_fn"]
 
 
 @partial(jax.jit, static_argnames=("shape", "eps_k", "dtype", "perdir", "exit_bc"))
@@ -41,6 +41,40 @@ def _on_tpu() -> bool:
         return jax.default_backend() not in ("cpu", "gpu")
     except Exception:  # pragma: no cover
         return False
+
+
+def check_fn(f, D: int, dtype, nargs: int, name: str) -> None:
+    """Constructor-time validation of a user callable (`check_fn`,
+    `/root/reference/src/WaterLily.jl:78-84`): call it once per component on
+    a dummy point and raise a readable error on a bad signature or a
+    non-scalar result, instead of an opaque failure deep inside vmap tracing.
+
+    ``nargs == 3`` → ``f(i, x, t)`` (ubc/g); ``nargs == 2`` → ``f(i, x)``
+    (initial condition)."""
+    if f is None or not callable(f):
+        return
+    x = jnp.zeros((D,), dtype)
+    t = jnp.asarray(0.0, dtype)
+    for i in range(D):
+        args = (x, t) if nargs == 3 else (x,)
+        sig = f"({', '.join(['i', 'x', 't'][:nargs])})"
+        try:
+            # i stays a static python int (user code branches on it);
+            # x/t are abstract so no actual compute runs
+            out = jax.eval_shape(lambda *a: f(i, *a), *args)
+        except TypeError as e:
+            raise ValueError(
+                f"{name} must have signature {name}{sig} with i an int "
+                f"component index, x a ({D},) position and t a scalar time: "
+                f"{e}") from e
+        except Exception as e:
+            raise ValueError(
+                f"{name}{sig} failed on a dummy point (i={i}, x=zeros({D}), "
+                f"t=0) — it must be traceable with jax.numpy ops: {e}") from e
+        if jnp.shape(out) != ():
+            raise ValueError(
+                f"{name}{sig} must return a scalar per component, got shape "
+                f"{jnp.shape(out)} for i={i}")
 
 
 def pcg_solve_fn(levels, masks, x, z, tol, itmx, perdir):
@@ -79,6 +113,10 @@ class Simulation:
                 raise ValueError("U (velocity scale) must be given when ubc is a function")
             U = math.sqrt(sum(float(v) ** 2 for v in ubc))
         self.U, self.L, self.eps = U, L, eps
+        D = len(dims)
+        check_fn(ubc, D, dtype, 3, "ubc")
+        check_fn(g, D, dtype, 3, "g")
+        check_fn(u0, D, dtype, 2, "u0")
         ctor = flow_ctor or fl.Flow
         tuning = {} if flow_ctor is not None else dict(
             smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc)

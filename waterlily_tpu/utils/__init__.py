@@ -7,3 +7,5 @@ from .metrics import (MeanFlow, ke_field, lambda2_field, omega_field,
 from .metrics import vorticity  # noqa: F401,E402
 from . import viz  # noqa: F401,E402
 from . import pathlines  # noqa: F401,E402
+from . import mesh  # noqa: F401,E402
+from .mesh import body_mesh, marching_tetrahedra, viz3d  # noqa: F401,E402

@@ -166,12 +166,16 @@ def plot_logger(fname: str = "WaterLily.log", out: Optional[str] = None):
 
 
 def get_body(sim, t: Optional[float] = None):
-    """Body sdf sampled on the interior grid (the data behind the reference's
-    marching-cubes `body_mesh`, `ext/WaterLilyMeshingExt.jl:13-17`).  3D users
-    can isosurface it with scikit-image/pyvista; 2D users contour level 0."""
+    """Body geometry for plotting (`get_body`,
+    `ext/WaterLilyMeshingExt.jl:13-17`): 3D → `(verts, faces)` triangle mesh
+    of the sdf zero isosurface (marching tetrahedra, `utils.mesh`); 2D → the
+    interior sdf grid for `body_plot`-style contouring."""
     s = np.asarray(sim.sdf_field(t))
-    ix = tuple(slice(1, -1) for _ in range(s.ndim))
-    return s[ix]
+    if s.ndim == 3:
+        from .mesh import body_mesh
+
+        return body_mesh(sim, t)
+    return s[1:-1, 1:-1]
 
 
 def _frame_field(sim, d: Callable, cut: Optional[int]):
