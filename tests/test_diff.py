@@ -23,13 +23,18 @@ F64 = jnp.float64
 
 def run_fixed_steps(cfg, state, levels, masks, dt0, nsteps):
     """Pure fixed-step time loop (the differentiable analog of `sim_step!`;
-    the data-dependent CFL dt is carried as a traced value)."""
-    dt = jnp.asarray(dt0, F64)
-    t = jnp.asarray(0.0, F64)
-    for _ in range(nsteps):
-        state, dt_next, _, _ = fl.mom_step(cfg, state, levels, masks, dt, t)
-        t = t + dt
-        dt = dt_next
+    the data-dependent CFL dt is carried as a traced value).  `lax.scan`
+    keeps the traced program one step long — same numerics, ~nsteps× less
+    compile time under jacfwd."""
+
+    def body(carry, _):
+        state, dt, t = carry
+        state, dt_next, _, _ = fl.mom_step_impl(cfg, state, levels, masks,
+                                                dt, t)
+        return (state, dt_next, t + dt), None
+
+    carry = (state, jnp.asarray(dt0, F64), jnp.asarray(0.0, F64))
+    (state, _, t), _ = jax.lax.scan(body, carry, None, length=nsteps)
     return state, t
 
 
@@ -144,17 +149,19 @@ def _rot_psum(theta, nsteps=2):
     flow = fl.Flow((2 * L, 2 * L), (U, 0.0), nu=U * L / Re, dtype=F64,
                    tol=1e-6, itmx=64)
     levels, masks = mg.make_mg(flow.state.mu0)
-    state = flow.state
-    dt = jnp.asarray(0.25, F64)
-    t = jnp.asarray(0.0, F64)
-    for _ in range(nsteps):
+    import dataclasses
+
+    def step(carry, _):
+        state, levels, dt, t = carry
         V, mu0, mu1, _ = measure_fill(body, flow.cfg.shape, t + dt, 1.0, F64)
-        import dataclasses
         state = dataclasses.replace(state, V=V, mu0=mu0, mu1=mu1)
         levels = mg.update_mg(levels, masks, mu0)
-        state, dt_next, _, _ = fl.mom_step(flow.cfg, state, levels, masks, dt, t)
-        t = t + dt
-        dt = dt_next
+        state, dt_next, _, _ = fl.mom_step_impl(flow.cfg, state, levels,
+                                                masks, dt, t)
+        return (state, levels, dt_next, t + dt), None
+
+    carry = (flow.state, levels, jnp.asarray(0.25, F64), jnp.asarray(0.0, F64))
+    (state, _, _, _), _ = jax.lax.scan(step, carry, None, length=nsteps)
     return jnp.sum(interior(state.p) ** 2)
 
 
