@@ -102,11 +102,19 @@ def _measure(N: int, steps: int, engine: str):
 
     # warmup: compile + 2 steps (lets dt settle to the CFL limit)
     step = jax.jit(step)
+    iters = None
     for _ in range(2):
-        state, dt_n, _ = step(state, solver, dt, t0)
+        state, dt_n, iters = step(state, solver, dt, t0)
         t0 = t0 + dt
         dt = dt_n
-    float(probe(state))
+    p0 = float(probe(state))
+    # a benchmark of a diverging simulation is meaningless — fail loudly
+    # (round 1 silently timed NaN fields at 32 MG iterations per solve)
+    import math
+
+    if not math.isfinite(p0) or not math.isfinite(float(dt)):
+        raise RuntimeError(f"{N}^3 simulation diverged during warmup "
+                           f"(probe={p0}, dt={float(dt)})")
 
     t_base = time.perf_counter()
     float(probe(state))
@@ -114,11 +122,16 @@ def _measure(N: int, steps: int, engine: str):
 
     t_start = time.perf_counter()
     for _ in range(steps):
-        state, dt_n, _ = step(state, solver, dt, t0)
+        state, dt_n, iters = step(state, solver, dt, t0)
         t0 = t0 + dt
         dt = dt_n
-    float(probe(state))
+    pend = float(probe(state))
     elapsed = max(1e-9, time.perf_counter() - t_start - t_base)
+    if not math.isfinite(pend) or not math.isfinite(float(dt)):
+        raise RuntimeError(f"{N}^3 simulation diverged during measurement")
+    it = [int(v) for v in iters] if iters is not None else []
+    print(f"# {N}^3 final dt={float(dt):.3f} pois_iters={it}",
+          file=sys.stderr, flush=True)
     return N ** 3 * steps / elapsed
 
 
@@ -137,7 +150,12 @@ def main():
     global _BEST
     for N in sizes:
         t = time.perf_counter()
-        rate = _measure(N, steps, engine)
+        try:
+            rate = _measure(N, steps, engine)
+        except Exception as e:
+            print(f"# {N}^3 FAILED: {str(e)[:200]}", file=sys.stderr,
+                  flush=True)
+            continue
         print(f"# {N}^3: {rate / 1e6:.1f} Mcell/s "
               f"({time.perf_counter() - t:.0f}s incl. compile)",
               file=sys.stderr, flush=True)

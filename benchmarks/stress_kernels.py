@@ -1,0 +1,103 @@
+"""Real-TPU stress check: every flat Pallas kernel vs its jnp reference.
+
+The interpret-mode CI tests (`tests/test_pallas_kernels.py`) validate kernel
+logic but CANNOT catch Mosaic-only failure modes: interpret-mode `pl.ds`
+clamps out-of-range dynamic slices like `lax.dynamic_slice`, while compiled
+Mosaic reads out-of-bounds VMEM garbage (this masked the round-1 `div_k`
+center-offset bug that silently diverged every benchmark run).  This harness
+runs each kernel several times on the actual TPU and checks (a) elementwise
+agreement with the jnp flat path and (b) run-to-run determinism — a
+nondeterministic kernel is always a memory race.
+
+Usage: python benchmarks/stress_kernels.py [N ...]   (default 32 48 96)
+Exit code 1 if any kernel disagrees or is nondeterministic.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+
+from waterlily_tpu.models import flow as fl
+from waterlily_tpu.models import flowflat as ff
+from waterlily_tpu.ops import flat as fo
+from waterlily_tpu.ops import pallas_flat as plf
+
+
+def _jnp(fn, *a, **kw):
+    """Run the jnp flat reference implementation (Pallas gated off)."""
+    plf._IN_LOOP = True
+    try:
+        return fn(*a, **kw)
+    finally:
+        plf._IN_LOOP = False
+
+
+def stress(N: int, reps: int = 6) -> int:
+    g = fo.geom_of((N + 2, N + 2, N + 2))
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    mk3 = lambda k: fo.to_flat(
+        jax.random.normal(k, (3, g.Nx, g.Ny, g.Nz), jnp.float32), g)
+    mk1 = lambda k: fo.to_flat(
+        jax.random.normal(k, (g.Nx, g.Ny, g.Nz), jnp.float32), g)
+    u = mk3(ks[0])
+    # solver-invariant fields: masked r/eps/iD like production (`residual_flat`)
+    x = mk1(ks[1])
+    r = fo.zero_ghost_flat(mk1(ks[2]), g)
+    L = fo.zero_ghost_flat(jnp.abs(mk3(ks[3])), g)
+    V = 0.1 * mk3(ks[4])
+    mu0 = jnp.abs(mk3(ks[5]))
+    mu1 = fo.to_flat(0.1 * jax.random.normal(
+        ks[6], (3, 3, g.Nx, g.Ny, g.Nz), jnp.float32), g)
+    eps = fo.zero_ghost_flat(mk1(ks[7]), g)
+    D, iD = fo.set_diag_flat(L, g)
+    nu, dt, om = jnp.float32(0.1), jnp.float32(0.2), jnp.float32(0.8)
+    colors = [(1 - 3 - k0) % 2 for k0 in range(1, 5)]
+
+    cases = {
+        "conv_diff_k": (lambda: plf.conv_diff_k(u, nu, fl.quick, g),
+                        lambda: _jnp(ff.conv_diff_flat, u, fl.quick, nu, g)),
+        "bdim_k": (lambda: plf.bdim_k(u, u, u, V, mu0, mu1, dt, g),
+                   lambda: _jnp(ff.bdim_flat, u, u, u, V, mu0, mu1, dt, g)),
+        "div_k": (lambda: plf.div_k(u, g), lambda: _jnp(fo.div_flat, u, g)),
+        "mult_k": (lambda: plf.mult_k(x, L, D, g),
+                   lambda: _jnp(fo.mult_flat, L, D, x, g)),
+        "jacobi_incr": (lambda: plf.jacobi_incr(x, r, L, D, iD, om, g),
+                        lambda: _jnp(fo.jacobi_flat, L, D, iD, x, r, g, 1, om)),
+        "gs_incr(4)": (lambda: plf.gs_incr(x, r, L, D, iD, colors, om, g),
+                       lambda: _jnp(fo.gauss_seidel_rb_flat, L, D, iD, x, r,
+                                    g, 4, om)),
+        "increment_k": (lambda: plf.increment_k(x, r, eps, L, D, om, g),
+                        lambda: _jnp(fo.increment_flat, L, D, x, r, eps, om, g)),
+        "bc_k": (lambda: plf.bc_k(u, (1.0, 0.0, 0.0), g, False),
+                 lambda: _jnp(fo.bc_vector_flat, u, (1.0, 0.0, 0.0), g, False)),
+    }
+    fails = 0
+    for name, (kf, rf) in cases.items():
+        want = jax.tree_util.tree_map(np.asarray, rf())
+        outs = [jax.tree_util.tree_map(np.asarray, kf()) for _ in range(reps)]
+
+        def maxdiff(a, b):
+            return max(np.max(np.abs(x - y)) for x, y in
+                       zip(jax.tree_util.tree_leaves(a),
+                           jax.tree_util.tree_leaves(b)))
+
+        worst = max(maxdiff(o, want) for o in outs)
+        det = max(maxdiff(outs[i], outs[0]) for i in range(1, reps))
+        ok = worst < 2e-4 and det == 0.0
+        fails += 0 if ok else 1
+        print(f"N={N} {name:14s} vs-jnp worst={worst:.3e}  nondet={det:.3e}"
+              f"  {'ok' if ok else 'FAIL'}", flush=True)
+    return fails
+
+
+if __name__ == "__main__":
+    sizes = [int(a) for a in sys.argv[1:]] or [32, 48, 96]
+    total = sum(stress(N) for N in sizes)
+    sys.exit(1 if total else 0)

@@ -647,8 +647,11 @@ def div_k(u: jax.Array, g: FlatGeom) -> jax.Array:
         u0w, u1w, u2w = win
         co = cos[0]
         c0 = u0w[pl.ds(co, bx)]
-        u1c = u1w[pl.ds(co, bx)]
-        u2c = u2w[pl.ds(co, bx)]
+        # u1/u2 have halo 0 — their center offsets differ from u0's (using
+        # cos[0] here read one row off AND one row past the window: the
+        # round-1 divergence/nondeterminism bug)
+        u1c = u1w[pl.ds(cos[1], bx)]
+        u2c = u2w[pl.ds(cos[2], bx)]
         s = (u0w[pl.ds(co + 1, bx)] - c0) \
             + (_pshift(u1c, g.Nz) - u1c) + (_pshift(u2c, 1) - u2c)
         gx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ox
