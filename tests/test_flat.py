@@ -139,3 +139,92 @@ def test_mom_step_parity(exit_bc):
         assert float(dtf) == pytest.approx(float(dt3), rel=1e-12)
         t = t + dt
         dt = dt3
+
+
+# --------------------------------------------------- extended-config parity
+def _parity_run(sim3, simf, steps=3, udf=None, atol_u=1e-9, atol_p=1e-7):
+    cfg = sim3.flow.cfg
+    g = fo.geom_of(cfg.shape)
+    s3 = sim3.flow.state
+    sf = ff.state_to_flat(s3, g)
+    dt = jnp.asarray(0.25, F64)
+    t = jnp.asarray(0.0, F64)
+    for k in range(steps):
+        s3, dt3, n3, _ = fl.mom_step(cfg, s3, sim3.levels, sim3.masks, dt, t,
+                                     udf)
+        sf, dtf, nf, _ = ff.mom_step_flat(cfg, sf, simf._flat["fmg"],
+                                          simf.masks, g, dt, t, udf)
+        u3 = np.asarray(s3.u)
+        uf = np.asarray(fo.from_flat(sf.u, g))
+        assert np.allclose(uf[:, 1:-1, 1:-1, 1:-1], u3[:, 1:-1, 1:-1, 1:-1],
+                           atol=atol_u), f"step {k}: u mismatch " \
+            f"{np.max(np.abs(uf - u3)[:, 1:-1, 1:-1, 1:-1])}"
+        pf = np.asarray(fo.from_flat(sf.p, g))
+        assert np.allclose(pf[1:-1, 1:-1, 1:-1],
+                           np.asarray(s3.p)[1:-1, 1:-1, 1:-1],
+                           atol=atol_p), f"step {k}: p"
+        assert float(dtf) == pytest.approx(float(dt3), rel=1e-9)
+        t = t + dt
+        dt = dt3
+
+
+def test_flat_parity_periodic_tgv():
+    # fully periodic 3D TGV (BASELINE config 3 family)
+    L = 16
+    kappa = 2 * np.pi / L
+
+    def tgv(i, xyz):
+        x, y = xyz[0] * kappa, xyz[1] * kappa
+        return jnp.where(i == 0, -jnp.sin(x) * jnp.cos(y),
+                         jnp.where(i == 1, jnp.cos(x) * jnp.sin(y), 0.0))
+
+    mk = lambda eng: Simulation((L, L, L), (0.0, 0.0, 0.0), L, U=1.0,
+                                nu=0.05, perdir=(0, 1, 2), u0=tgv,
+                                dtype=F64, engine=eng)
+    _parity_run(mk("3d"), mk("flat"))
+
+
+def test_flat_parity_periodic_channel_body():
+    # y/z-periodic channel with a sphere: periodic MG + BDIM together
+    R = 3
+    ctr = jnp.asarray([8.0, 6.0, 6.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R)
+    mk = lambda eng: Simulation((16, 12, 12), (1.0, 0.0, 0.0), R, nu=0.05,
+                                perdir=(1, 2), body=body, dtype=F64,
+                                engine=eng)
+    _parity_run(mk("3d"), mk("flat"))
+
+
+def test_flat_parity_callable_ubc_and_g():
+    # time-dependent callable boundary velocity + body acceleration
+    def ubc(i, x, t):
+        return jnp.where(i == 0, 1.0 + 0.1 * t, 0.0 * t)
+
+    def gfn(i, x, t):
+        return jnp.where(i == 1, 0.05 * jnp.sin(0.3 * t), 0.0 * t)
+
+    mk = lambda eng: Simulation((12, 10, 10), ubc, 4, U=1.0, nu=0.05,
+                                g=gfn, dtype=F64, engine=eng)
+    _parity_run(mk("3d"), mk("flat"))
+
+
+def test_flat_parity_les_udf():
+    # sgs udf: native flat variant vs the 3D contract
+    from waterlily_tpu.utils.les import sgs
+
+    R = 3
+    ctr = jnp.asarray([8.0, 6.0, 6.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R)
+    mk = lambda eng: Simulation((16, 12, 12), (1.0, 0.0, 0.0), R, nu=0.02,
+                                body=body, dtype=F64, engine=eng)
+    _parity_run(mk("3d"), mk("flat"), udf=sgs())
+
+
+def test_flat_parity_udf_conversion_path():
+    # a plain 3D-contract udf (no .flat attribute) through layout conversion
+    def forcing(f, state, u_adv, t):
+        return f.at[0].add(0.01 * jnp.sin(t + 0 * f[0]))
+
+    mk = lambda eng: Simulation((12, 10, 10), (1.0, 0.0, 0.0), 4, nu=0.05,
+                                dtype=F64, engine=eng)
+    _parity_run(mk("3d"), mk("flat"), udf=forcing)

@@ -32,10 +32,12 @@ __all__ = ["flat_supported", "state_to_flat", "state_from_flat",
 
 
 def flat_supported(cfg: FlowCfg, g=None, udf=None, solve_fn=None) -> bool:
-    """The flat engine covers the 3D single-device benchmark configuration."""
-    return (cfg.D == 3 and not cfg.perdir and cfg.g is None
-            and not callable(cfg.ubc) and udf is None and solve_fn is None
-            and g is None)
+    """The flat engine covers every single-device 3D configuration: periodic
+    directions, body acceleration ``g``, callable boundary velocity, udf
+    forcing (native ``udf.flat`` or via layout conversion) and the convective
+    exit BC.  Only custom pressure-solver injection (``solve_fn`` /
+    ``psolver='pcg'``) stays on the generic 3D path."""
+    return cfg.D == 3 and solve_fn is None
 
 
 def state_to_flat(state: FlowState, g: FlatGeom) -> FlowState:
@@ -64,15 +66,20 @@ def _shift(a, st, s):
     return xshift(a, s) if st is None else fshift(a, s * st)
 
 
-def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom) -> jax.Array:
-    """`conv_diff!` (`src/Flow.jl:38-62`) on flat fields, non-periodic.
+def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom,
+                   perdir: tuple[int, ...] = ()) -> jax.Array:
+    """`conv_diff!` (`src/Flow.jl:38-62`) on flat fields.
 
-    Boundary-slab fixes in-stencil: UP → central at j-index 1 (`ϕuL`),
-    DN → central at j-index n−1 (`ϕuR`).  Ghost cells of the result are zero
-    (the reference zero-fills `a.f`)."""
+    Boundary-slab fixes in-stencil: non-periodic UP → central at j-index 1
+    (`ϕuL`), DN → central at j-index n−1 (`ϕuR`); periodic directions keep
+    the full scheme with the wrapped second-upwind/downwind reads (`ϕuP`,
+    `Flow.jl:60-62` — the slab-1 second-upwind comes from index n−3 and the
+    top-ghost downwind from index 2; the single-ghost reads come from the
+    periodic-filled ghost planes).  Ghost cells of the result are zero (the
+    reference zero-fills `a.f`)."""
     from ..ops import pallas_flat as plf
 
-    if plf.use_pallas_flat(u):
+    if plf.use_pallas_flat(u) and not perdir:
         return plf.conv_diff_k(u, nu, scheme, g)
     meta = _axis_meta(g, u.dtype)
     gx = jax.lax.broadcasted_iota(u.dtype, u.shape[1:], 0)
@@ -89,9 +96,16 @@ def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom) -> jax.Array:
             f_m2 = _shift(f, st, -2)
             f_p1 = _shift(f, st, 1)
             uadv = 0.5 * (u[j] + _shift(u[j], meta[i][2], -1))
-            cds_b = 0.5 * (f + f_m1)
-            up = jnp.where(jf == 1, cds_b, scheme(f_m2, f_m1, f))
-            dn = jnp.where(jf == n_j - 1, cds_b, scheme(f_p1, f, f_m1))
+            if j in perdir:
+                f_m2 = jnp.where(jf == 1, _shift(f, st, n_j - 4), f_m2)
+                f_p1 = jnp.where(jf == n_j - 1, _shift(f, st, -(n_j - 3)),
+                                 f_p1)
+                up = scheme(f_m2, f_m1, f)
+                dn = scheme(f_p1, f, f_m1)
+            else:
+                cds_b = 0.5 * (f + f_m1)
+                up = jnp.where(jf == 1, cds_b, scheme(f_m2, f_m1, f))
+                dn = jnp.where(jf == n_j - 1, cds_b, scheme(f_p1, f, f_m1))
             phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - f_m1)
             ri = ri + (phi - _shift(phi, st, 1))
         out.append(ri * ins)
@@ -122,31 +136,66 @@ def _scale_interior_flat(u: jax.Array, s, g: FlatGeom) -> jax.Array:
     return u * (1.0 + (s - 1.0) * m)
 
 
-def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom):
+def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0):
     """`mom_project!` (`src/Flow.jl:223-232`) on flat fields."""
     z = div_flat(u, g)
     x = p * dt_w
     res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
                                itmx=cfg.itmx, smooth_it=cfg.smooth_it,
-                               unroll=cfg.mg_unroll)
+                               unroll=cfg.mg_unroll, perdir=cfg.perdir)
     u = proj_correct_flat(u, res.x, fmg.fine.L, g)
     p = res.x / dt_w
-    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
+    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
+                       perdir=cfg.perdir, t=t)
     return u, p, res.iters, res.stats
 
 
-def _half_step(u_adv, u_base, u0, state, cfg, dt, keep_base, scale, g):
-    """conv_diff → BDIM → interior scale.  The fully-fused kernel
-    (`pred_corr_k`) is opt-in (`FlowCfg.fused_pc`): measured 13.0 ms vs 13.1
-    for the separate pair at 256^3 — the HBM savings are eaten by VMEM
-    spills of the extended-window QUICK cascade."""
+def accelerate_flat(f: jax.Array, t, cfg: FlowCfg, g: FlatGeom) -> jax.Array:
+    """`accelerate!` (`src/Flow.jl:69-73`) for flat fields: the body force
+    ``g(i,x,t)`` and the dU/dt frame term are evaluated by the 3D
+    implementation (`models.flow.accelerate` vmaps the user callables over
+    the face grids) and the increment converted — two layout passes, only on
+    configs that use acceleration."""
+    if cfg.g is None and not callable(cfg.ubc):
+        return f
+    from .flow import accelerate
+
+    f3 = accelerate(from_flat(f, g), t, cfg.g, cfg.ubc, cfg.dtype)
+    return to_flat(f3, g)
+
+
+def _apply_udf_flat(udf, f, state, u_into, u_adv, t, g: FlatGeom):
+    """`udf!` (`src/Flow.jl:255-257`) on the flat engine.  A udf carrying a
+    ``flat`` attribute (e.g. `utils.les.sgs`) runs natively on flat fields;
+    otherwise the 3D-contract udf runs through layout conversion of the
+    fields it sees (f, state.u, u_adv)."""
+    if hasattr(udf, "flat"):
+        return udf.flat(f, dataclasses.replace(state, u=u_into), u_adv, t, g)
+    st3 = state_from_flat(dataclasses.replace(state, u=u_into), g)
+    f3 = udf(from_flat(f, g), st3, from_flat(u_adv, g), t)
+    return to_flat(f3, g)
+
+
+def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
+               udf=None):
+    """conv_diff → udf → accelerate → BDIM → interior scale (one momentum
+    phase, `mom_predict!`/`mom_correct!`, `src/Flow.jl:190-210`).  The fully-
+    fused kernel (`pred_corr_k`) is opt-in (`FlowCfg.fused_pc`): measured
+    13.0 ms vs 13.1 for the separate pair at 256^3 — the HBM savings are
+    eaten by VMEM spills of the extended-window QUICK cascade."""
     from ..ops import pallas_flat as plf
 
-    if plf.use_pallas_flat(u_adv) and cfg.fused_pc:
+    plain = (udf is None and cfg.g is None and not callable(cfg.ubc)
+             and not cfg.perdir)
+    if plf.use_pallas_flat(u_adv) and cfg.fused_pc and plain:
         return plf.pred_corr_k(u_adv, u_base, u0, state.V, state.mu0,
                                state.mu1, dt, state.nu, cfg.scheme,
                                keep_base, scale, g)
-    f = conv_diff_flat(u_adv, cfg.scheme, state.nu, g)
+    f = conv_diff_flat(u_adv, cfg.scheme, state.nu, g, cfg.perdir)
+    if udf is not None:
+        u_into = u_base if keep_base else _scale_interior_flat(u_base, 0.0, g)
+        f = _apply_udf_flat(udf, f, state, u_into, u_adv, f_t, g)
+    f = accelerate_flat(f, f_t, cfg, g)
     u = u_base if keep_base else _scale_interior_flat(u_base, 0.0, g)
     u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g)
     if scale != 1.0:
@@ -155,26 +204,29 @@ def _half_step(u_adv, u_base, u0, state, cfg, dt, keep_base, scale, g):
 
 
 def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
-                       g: FlatGeom, dt, t0):
+                       g: FlatGeom, dt, t0, udf=None):
     """One full time step on flat state (`mom_step!`, `src/Flow.jl:156-167`)."""
+    t1 = t0 + dt
     u0 = state.u
     state = dataclasses.replace(state, u0=u0)
     # predictor (`Flow.jl:157-161`)
-    u = _half_step(u0, u0, u0, state, cfg, dt, 0.0, 1.0, g)
-    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
+    u = _half_step(u0, u0, u0, state, cfg, dt, t0, 0.0, 1.0, g, udf)
+    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
+                       perdir=cfg.perdir, t=t1)
     if cfg.exit_bc:
         u = exit_bc_flat(u, u0, dt, g)
-    u, p, n1, s1 = _project_flat(u, state.p, fmg, masks, dt, cfg, g)
+    u, p, n1, s1 = _project_flat(u, state.p, fmg, masks, dt, cfg, g, t1)
     # corrector (`Flow.jl:163-165`)
-    u = _half_step(u, u, u0, state, cfg, dt, 1.0, 0.5, g)
-    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc)
-    u, p, n2, s2 = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g)
+    u = _half_step(u, u, u0, state, cfg, dt, t1, 1.0, 0.5, g, udf)
+    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
+                       perdir=cfg.perdir, t=t1)
+    u, p, n2, s2 = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g, t1)
     state = dataclasses.replace(state, u=u, p=p)
     dt_next = cfl_flat(u, state.nu, g)
     return state, dt_next, jnp.stack([n1, n2]), jnp.stack([s1, s2])
 
 
-@partial(jax.jit, static_argnames=("cfg", "masks", "g"))
+@partial(jax.jit, static_argnames=("cfg", "masks", "g", "udf"))
 def mom_step_flat(cfg: FlowCfg, state: FlowState, fmg, masks, g: FlatGeom,
-                  dt, t0):
-    return mom_step_flat_impl(cfg, state, fmg, masks, g, dt, t0)
+                  dt, t0, udf=None):
+    return mom_step_flat_impl(cfg, state, fmg, masks, g, dt, t0, udf)

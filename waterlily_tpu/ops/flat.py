@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "FlatGeom", "geom_of", "to_flat", "from_flat", "fshift", "xshift",
-    "yz_planes", "bc_vector_flat", "exit_bc_flat", "div_flat", "cfl_flat",
-    "set_diag_flat", "mult_flat", "residual_flat", "norms_flat",
+    "yz_planes", "bc_vector_flat", "per_bc_flat", "exit_bc_flat", "div_flat",
+    "cfl_flat", "set_diag_flat", "mult_flat", "residual_flat", "norms_flat",
     "jacobi_flat", "gauss_seidel_rb_flat", "increment_flat",
     "proj_correct_flat", "interior_mean_flat",
 ]
@@ -146,47 +146,107 @@ def zero_ghost_flat(a: jax.Array, g: FlatGeom) -> jax.Array:
 
 
 # ------------------------------------------------------------------- BC
-def bc_vector_flat(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False
-                   ) -> jax.Array:
-    """`BC!` (`src/core.jl:199-224`) on a flat vector field (D, Nx, S, 128)
-    with a constant Dirichlet tuple: normal component set on the ghost slab
-    and the first interior face, tangential ghosts copy the first interior
-    value (the constant-spec cancellation of `ops.bc.bc_vector`), and
-    ``save_exit`` preserves the x-high exit plane of u_x for `exitBC!`.
-    The (i, j) update order matches the 3D path so corner ghosts agree."""
+def per_bc_flat(a: jax.Array, perdir: tuple[int, ...], g: FlatGeom
+                ) -> jax.Array:
+    """Periodic ghost update of a flat scalar field (`perBC!`,
+    `src/core.jl:239-243`): ghost plane 0 ← interior n−2, ghost n−1 ←
+    interior 1, per periodic direction.  Leading (component) axes broadcast.
+    In-plane wraps are whole-plane `fshift`s masked to the ghost planes; the
+    source planes are real rows so dead-tail garbage never propagates."""
+    if not perdir:
+        return a
+    yv, zv, _ = yz_planes(g, a.dtype)
+    for j in perdir:
+        if j == 0:
+            ix = _x_iota(a)
+            a = jnp.where(ix == 0, slabx(a, g.Nx - 2),
+                          jnp.where(ix == g.Nx - 1, slabx(a, 1), a))
+        else:
+            idx = yv if j == 1 else zv
+            n = g.Ny if j == 1 else g.Nz
+            step = g.Nz if j == 1 else 1
+            a = jnp.where(idx == 0, fshift(a, (n - 2) * step),
+                          jnp.where(idx == n - 1, fshift(a, -(n - 2) * step), a))
+    return a
+
+
+def bc_vector_flat(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False,
+                   perdir: tuple[int, ...] = (), t=0.0) -> jax.Array:
+    """`BC!` (`src/core.jl:199-224`) on a flat vector field (D, Nx, S, 128):
+    Dirichlet on the normal component (ghost slab and first interior face),
+    tangential ghosts copy the first interior value (the constant-spec
+    cancellation of `ops.bc.bc_vector`), periodic wrap for directions in
+    ``perdir``, and ``save_exit`` preserves the x-high exit plane of u_x for
+    `exitBC!`.  The (i, j) update order matches the 3D path so corner ghosts
+    agree.  Callable ``ubc(i, x, t)`` specs are evaluated on the 3D face grid
+    and flattened (the constant path stays kernel-eligible)."""
     from . import pallas_flat as plf
 
-    if plf.use_pallas_flat(u):
+    if plf.use_pallas_flat(u) and not perdir and not callable(ubc):
         return plf.bc_k(u, ubc, g, save_exit)
     D = u.shape[0]
     yv, zv, _ = yz_planes(g, u.dtype)
+    if callable(ubc):
+        from .bc import bc_field
+
+        Us = [to_flat(bc_field(ubc, i, g.shape3, t, u.dtype), g)
+              for i in range(D)]
+    else:
+        Us = [jnp.asarray(ubc[i], u.dtype) for i in range(D)]
+
     comps = []
     for i in range(D):
         ui = u[i]
-        Ui = jnp.asarray(ubc[i], u.dtype)
+        Ui = Us[i]
+        const = Ui.ndim == 0
         for j in range(D):
+            per = j in perdir
             if j == 0:
                 ix = _x_iota(ui)
-                if i == 0:
-                    lo = Ui
-                    hi = slabx(ui, g.Nx - 1) if save_exit else Ui
+                n = g.Nx
+                if per:
+                    ui = jnp.where(ix == 0, slabx(ui, n - 2),
+                                   jnp.where(ix == n - 1, slabx(ui, 1), ui))
+                elif i == j:
+                    lo = Ui if const else slabx(Ui, 0)
+                    one = Ui if const else slabx(Ui, 1)
+                    if save_exit and i == 0:
+                        hi = slabx(ui, n - 1)
+                    else:
+                        hi = Ui if const else slabx(Ui, n - 1)
                     ui = jnp.where(ix == 0, lo,
-                                   jnp.where(ix == g.Nx - 1, hi,
-                                             jnp.where(ix == 1, Ui, ui)))
+                                   jnp.where(ix == n - 1, hi,
+                                             jnp.where(ix == 1, one, ui)))
                 else:
-                    ui = jnp.where(ix == 0, slabx(ui, 1),
-                                   jnp.where(ix == g.Nx - 1, slabx(ui, g.Nx - 2), ui))
+                    if const:
+                        lo, hi = slabx(ui, 1), slabx(ui, n - 2)
+                    else:
+                        lo = slabx(Ui, 0) + slabx(ui, 1) - slabx(Ui, 1)
+                        hi = slabx(Ui, n - 1) + slabx(ui, n - 2) - slabx(Ui, n - 2)
+                    ui = jnp.where(ix == 0, lo, jnp.where(ix == n - 1, hi, ui))
             else:
                 idx = yv if j == 1 else zv
                 n = g.Ny if j == 1 else g.Nz
                 step = g.Nz if j == 1 else 1
-                if i == j:
+                if per:
+                    ui = jnp.where(idx == 0, fshift(ui, (n - 2) * step),
+                                   jnp.where(idx == n - 1,
+                                             fshift(ui, -(n - 2) * step), ui))
+                elif i == j:
+                    # Ui is staggered-consistent on its own plane: plane-k
+                    # values of a flat field need no shift for the write mask
                     ui = jnp.where(idx == 0, Ui,
                                    jnp.where(idx == n - 1, Ui,
                                              jnp.where(idx == 1, Ui, ui)))
                 else:
-                    ui = jnp.where(idx == 0, fshift(ui, step),
-                                   jnp.where(idx == n - 1, fshift(ui, -step), ui))
+                    if const:
+                        ui = jnp.where(idx == 0, fshift(ui, step),
+                                       jnp.where(idx == n - 1, fshift(ui, -step), ui))
+                    else:
+                        lo = Ui + fshift(ui, step) - fshift(Ui, step)
+                        hi = Ui + fshift(ui, -step) - fshift(Ui, -step)
+                        ui = jnp.where(idx == 0, lo,
+                                       jnp.where(idx == n - 1, hi, ui))
         comps.append(ui)
     return jnp.stack(comps)
 
@@ -245,7 +305,9 @@ def proj_correct_flat(u: jax.Array, x: jax.Array, L: jax.Array, g: FlatGeom
 
 # ---------------------------------------------------------- Poisson ops
 def set_diag_flat(L: jax.Array, g: FlatGeom):
-    """Diagonal + guarded inverse (`Poisson.jl:43-55`) on flat coefficients."""
+    """Diagonal + guarded inverse (`Poisson.jl:43-55`) on flat coefficients.
+    The +e_i face reads come from L's ghost planes, which carry the periodic/
+    boundary structure from the 3D `bc_vector` applied before flattening."""
     d = -(L[0] + xshift(L[0], 1) + L[1] + fshift(L[1], g.Nz)
           + L[2] + fshift(L[2], 1))
     d = zero_ghost_flat(d, g)
@@ -253,11 +315,13 @@ def set_diag_flat(L: jax.Array, g: FlatGeom):
     return d, iD
 
 
-def mult_flat(L: jax.Array, D: jax.Array, x: jax.Array, g: FlatGeom
-              ) -> jax.Array:
-    """A·x (`mult`, `Poisson.jl:63-76`); ghosts/tail zero."""
+def mult_flat(L: jax.Array, D: jax.Array, x: jax.Array, g: FlatGeom,
+              perdir: tuple[int, ...] = ()) -> jax.Array:
+    """A·x (`mult`, `Poisson.jl:63-76`); ghosts/tail zero.  ``perdir`` wraps
+    x's ghost planes first (`perBC!(x)`, `Poisson.jl:65`)."""
     from . import pallas_flat as plf
 
+    x = per_bc_flat(x, perdir, g)
     if plf.use_pallas_flat(x):
         return plf.mult_k(x, L, D, g)
     s = x * D
@@ -269,9 +333,10 @@ def mult_flat(L: jax.Array, D: jax.Array, x: jax.Array, g: FlatGeom
     return zero_ghost_flat(s, g)
 
 
-def residual_flat(L, D, iD, x, z, g: FlatGeom) -> jax.Array:
+def residual_flat(L, D, iD, x, z, g: FlatGeom,
+                  perdir: tuple[int, ...] = ()) -> jax.Array:
     """r = z − A·x with the null-space fixes (`Poisson.jl:92-98`)."""
-    r = jnp.where(iD == 0, 0.0, z - mult_flat(L, D, x, g))
+    r = jnp.where(iD == 0, 0.0, z - mult_flat(L, D, x, g, perdir))
     r = zero_ghost_flat(r, g)
     n = (g.Nx - 2) * (g.Ny - 2) * (g.Nz - 2)
     s = jnp.sum(r) / n
@@ -289,39 +354,44 @@ def interior_mean_flat(x: jax.Array, g: FlatGeom):
     return jnp.sum(zero_ghost_flat(x, g)) / n
 
 
-def increment_flat(L, D, x, r, eps, omega, g: FlatGeom):
+def increment_flat(L, D, x, r, eps, omega, g: FlatGeom,
+                   perdir: tuple[int, ...] = ()):
     """x += ω·eps, r −= ω·A·eps (`increment!`, `Poisson.jl:100-104`)."""
     from . import pallas_flat as plf
 
-    if plf.use_pallas_flat(x):
+    if plf.use_pallas_flat(x) and not perdir:
         return plf.increment_k(x, r, eps, L, D, omega, g)
-    r = r - omega * mult_flat(L, D, eps, g)
+    r = r - omega * mult_flat(L, D, eps, g, perdir)
     x = x + omega * zero_ghost_flat(eps, g)
     return x, r
 
 
-def jacobi_flat(L, D, iD, x, r, g: FlatGeom, it: int = 1, omega=1.0):
+def jacobi_flat(L, D, iD, x, r, g: FlatGeom, it: int = 1, omega=1.0,
+                perdir: tuple[int, ...] = ()):
     """Jacobi smoother (`Jacobi!`, `Poisson.jl:111-114`)."""
     from . import pallas_flat as plf
 
     for _ in range(it):
-        if plf.use_pallas_flat(x):
+        if plf.use_pallas_flat(x) and not perdir:
             x, r = plf.jacobi_incr(x, r, L, D, iD, omega, g)
         else:
             eps = zero_ghost_flat(r * iD, g)
-            x, r = increment_flat(L, D, x, r, eps, omega, g)
+            x, r = increment_flat(L, D, x, r, eps, omega, g, perdir)
     return x, r
 
 
-def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0):
+def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0,
+                         perdir: tuple[int, ...] = ()):
     """Red-black Gauss-Seidel + increment (`GaussSeidelRB!`,
     `Poisson.jl:124-148`): the k-plane coloring is the index-sum
-    checkerboard; each half-sweep is a masked whole-plane update."""
+    checkerboard; each half-sweep is a masked whole-plane update.  Under
+    periodic directions the correction's ghost planes are re-wrapped before
+    every sweep (`perBC!(p.ϵ)`, `Poisson.jl:143`), matching the 3D path."""
     from . import pallas_flat as plf
 
     Dim = 3
     colors = [(1 - Dim - k0) % 2 for k0 in range(1, it + 1)]
-    if plf.use_pallas_flat(x):
+    if plf.use_pallas_flat(x) and not perdir:
         return plf.gs_incr(x, r, L, D, iD, colors, omega, g)
     yv, zv, insf = yz_planes(g, x.dtype)
     ix = _x_iota(x)
@@ -329,6 +399,7 @@ def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0):
     ins = (insf > 0) & (ix >= 1) & (ix <= g.Nx - 2)
     eps = zero_ghost_flat(r * iD, g)
     for color in colors:
+        eps = per_bc_flat(eps, perdir, g)
         s = r
         for i, st in ((0, None), (1, g.Nz), (2, 1)):
             if st is None:
@@ -336,4 +407,4 @@ def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0):
             else:
                 s = s - (fshift(eps, -st) * L[i] + fshift(eps, st) * fshift(L[i], st))
         eps = jnp.where((par == color) & ins, s * iD, eps)
-    return increment_flat(L, D, x, r, eps, omega, g)
+    return increment_flat(L, D, x, r, eps, omega, g, perdir)

@@ -59,17 +59,19 @@ def _n_flat(g: FlatGeom, masks) -> int:
     return max(1, n)
 
 
-def make_mg_flat(mu0_3d: jax.Array, maxlevels: int = 10):
+def make_mg_flat(mu0_3d: jax.Array, maxlevels: int = 10,
+                 perdir: tuple[int, ...] = ()):
     """Build (flat_mg, masks, geom) from the fine 3D face coefficients."""
-    levels, masks = mg.make_mg(mu0_3d, (), maxlevels)
+    levels, masks = mg.make_mg(mu0_3d, perdir, maxlevels)
     g = geom_of(mu0_3d.shape[1:])
     return _flatten_stack(levels, g, masks), masks, g
 
 
-def update_mg_flat(masks, mu0_3d: jax.Array, g: FlatGeom) -> FlatMG:
+def update_mg_flat(masks, mu0_3d: jax.Array, g: FlatGeom,
+                   perdir: tuple[int, ...] = ()) -> FlatMG:
     """Re-restrict after a body re-measure (`update!`,
     `MultiLevelPoisson.jl:79-86`)."""
-    levels = mg.update_mg(None, masks, mu0_3d, ())
+    levels = mg.update_mg(None, masks, mu0_3d, perdir)
     return _flatten_stack(levels, g, masks)
 
 
@@ -96,7 +98,8 @@ def _level(fmg: FlatMG, l: int) -> PoissonLevel:
 
 
 def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
-                  smooth_it: int = 4, l: int = 0):
+                  smooth_it: int = 4, l: int = 0,
+                  perdir: tuple[int, ...] = ()):
     """One V-cycle level step (`Vcycle!`, `MultiLevelPoisson.jl:88-101`) with
     levels < len(mids)+1 in flat layout."""
     geoms = _level_geoms(g, tuple(masks))
@@ -104,7 +107,8 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
     n_flat = 1 + len(fmg.mids)
     n_levels = n_flat + len(fmg.tail)
 
-    x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0)
+    x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0,
+                       perdir=perdir)
     rc3 = mg.restrict(from_flat(r, gl), masks[l])
     if l + 1 < n_flat:
         clv, gc = _level(fmg, l + 1), geoms[l + 1]
@@ -112,24 +116,26 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
         xc = jnp.zeros_like(rc)
         if l + 2 < n_levels:
             xc, rc = _v_cycle_flat(fmg, masks, xc, rc, omega, g, smooth_it,
-                                   l + 1)
+                                   l + 1, perdir)
         xc, rc = gauss_seidel_rb_flat(clv.L, clv.D, clv.iD, xc, rc, gc,
-                                      it=smooth_it, omega=omega)
+                                      it=smooth_it, omega=omega, perdir=perdir)
         eps3 = mg.prolongate(from_flat(xc, gc), masks[l])
     else:
         xc = jnp.zeros_like(rc3)
         if len(fmg.tail) > 1:
             xc, rc3 = mg.v_cycle(fmg.tail, masks[l + 1:], xc, rc3, omega,
-                                 (), 0, smooth_it)
+                                 perdir, 0, smooth_it)
         xc, _ = gauss_seidel_rb(fmg.tail[0], xc, rc3, it=smooth_it,
-                                omega=omega)
+                                omega=omega, perdir=perdir)
         eps3 = mg.prolongate(xc, masks[l])
-    return increment_flat(lv.L, lv.D, x, r, to_flat(eps3, gl), omega, gl)
+    return increment_flat(lv.L, lv.D, x, r, to_flat(eps3, gl), omega, gl,
+                          perdir)
 
 
 def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   itmx: int = 32, smooth_it: int = 4,
-                  unroll: int = 8) -> mg.MGSolveResult:
+                  unroll: int = 8,
+                  perdir: tuple[int, ...] = ()) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
@@ -141,7 +147,7 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     n_in = (g.Nx - 2) * (g.Ny - 2) * (g.Nz - 2)
     r1tol = jnp.asarray((tol / 10.0) * n_in, dtype)
     rinf_tol = jnp.asarray(tol, dtype)
-    r = residual_flat(f.L, f.D, f.iD, x, z, g)
+    r = residual_flat(f.L, f.D, f.iD, x, z, g, perdir)
     r1, rinf = norms_flat(r)
     omega = jnp.asarray(1.0, dtype)
     stats = jnp.zeros((itmx + 1, 3), dtype).at[0].set(jnp.stack([rinf, r1, omega]))
@@ -152,9 +158,10 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
 
     def body(c):
         x, r, r1, rinf, omega, n, stats = c
-        x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it)
+        x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
+                             perdir=perdir)
         x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g, it=smooth_it,
-                                    omega=omega)
+                                    omega=omega, perdir=perdir)
         rnew, rinf = norms_flat(r)
         omega = jnp.where(rnew >= r1,
                           jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),
@@ -168,7 +175,8 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     carry = (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats)
     from . import pallas_flat as plf
 
-    k_unroll = min(itmx, unroll) if plf.use_pallas_flat(x) else 0
+    k_unroll = min(itmx, unroll) if (plf.use_pallas_flat(x)
+                                     and not perdir) else 0
     for _ in range(k_unroll):
         carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
     if itmx > k_unroll:
@@ -184,4 +192,5 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     act = jnp.where(f.iD != 0, ins, 0.0)
     m = jnp.sum(x * act) / jnp.maximum(jnp.sum(act), 1.0)
     x = jnp.where(act > 0, x - m, x * (1.0 - ins))
-    return mg.MGSolveResult(x, r, n, stats)
+    from .flat import per_bc_flat
+    return mg.MGSolveResult(per_bc_flat(x, perdir, g), r, n, stats)

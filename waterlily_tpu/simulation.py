@@ -151,8 +151,7 @@ class Simulation:
                                 and ff.flat_supported(self.flow.cfg, g)
                                 and _on_tpu()):
             if psolver != "mg" or not ff.flat_supported(self.flow.cfg, g):
-                raise ValueError("flat engine needs psolver='mg', D=3, "
-                                 "constant ubc, no perdir/g")
+                raise ValueError("flat engine needs psolver='mg' and D=3")
             from .ops import flat as fo
             from .ops import mgflat
 
@@ -216,13 +215,13 @@ class Simulation:
         cfg = self.flow.cfg
         dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
         t0 = jnp.asarray(self.time, cfg.dtype)
-        if self._flat is not None and udf is None:
+        if self._flat is not None:
             from .models import flowflat as ff
 
             gm = self._flat["g"]
             state, dt_next, iters, stats = ff.mom_step_flat(
                 cfg, self._flat["state"], self._flat["fmg"], self.masks, gm,
-                dt, t0)
+                dt, t0, udf)
             self._flat["state"] = state
             # 3D mirror syncs lazily on next `flow.state` read (no per-step
             # layout copies in the hot loop)

@@ -31,7 +31,11 @@ def smagorinsky(Cs: float = 0.17, delta: float = 1.0) -> Callable:
 
 def sgs(nu_t_fn: Callable = None):
     """Build a udf adding the SGS stress divergence to the RHS
-    (`sgs!`, `util.jl:66-76`).  Use as ``sim.sim_step(..., udf=sgs(...))``."""
+    (`sgs!`, `util.jl:66-76`).  Use as ``sim.sim_step(..., udf=sgs(...))``.
+
+    The returned udf also carries a ``flat`` attribute — a native flat-layout
+    implementation so the LES configs stay on the flat TPU engine with no
+    per-step layout conversions (`models.flowflat._apply_udf_flat`)."""
     nu_t_fn = nu_t_fn or smagorinsky()
 
     def udf(f, state, u_adv, t):
@@ -49,4 +53,30 @@ def sgs(nu_t_fn: Callable = None):
                 f = f.at[i].add(flux - shift(flux, j, 1))
         return f
 
+    def udf_flat(f, state, u_adv, t, g):
+        from ..ops.flat import shift_flat, yz_planes
+
+        def dudx(i, j):
+            # `∂(i,j,I,u)` (`Metrics.jl:42-44`) on flat fields
+            if i == j:
+                return shift_flat(u_adv[i], g, i, 1) - u_adv[i]
+            a = shift_flat(u_adv[i], g, j, 1)
+            b = shift_flat(u_adv[i], g, j, -1)
+            return (a + shift_flat(a, g, i, 1) - b - shift_flat(b, g, i, 1)) / 4
+
+        S = jnp.stack([jnp.stack([(dudx(i, j) + dudx(j, i)) / 2
+                                  for j in range(3)]) for i in range(3)])
+        nu_t = nu_t_fn(S)
+        yv, zv, _ = yz_planes(g, f.dtype)
+        gx = jax.lax.broadcasted_iota(jnp.int32, f.shape[1:], 0)
+        planes = ((gx, g.Nx), (yv, g.Ny), (zv, g.Nz))
+        for i in range(3):
+            for j in range(3):
+                flux = -nu_t * (u_adv[i] - shift_flat(u_adv[i], g, j, -1))
+                idx, n = planes[j]
+                flux = jnp.where((idx >= 2) & (idx <= n - 2), flux, 0.0)
+                f = f.at[i].add(flux - shift_flat(flux, g, j, 1))
+        return f
+
+    udf.flat = udf_flat
     return udf
