@@ -15,7 +15,8 @@ Robustness contract (the driver runs this under an unknown `timeout`):
   lands even if a cold 256^3 compile would blow the budget;
 - sizes run as a ladder (128^3 first, then 256^3) so a result exists
   within ~2 min on a warm compile cache;
-- no recompile retry cascade: one unroll level (WLTPU_MG_UNROLL, default 8).
+- no recompile retry cascade: the solver runs its default pure-while_loop
+  form (mg_unroll=0 — fastest and cheapest to compile, measured).
 
 Env overrides: WLTPU_BENCH_N (single cube size — disables the ladder),
 WLTPU_BENCH_STEPS, WLTPU_BENCH_BUDGET_S, WLTPU_ENGINE.
@@ -139,7 +140,6 @@ def main():
     budget = float(os.environ.get("WLTPU_BENCH_BUDGET_S", "510"))
     steps = int(os.environ.get("WLTPU_BENCH_STEPS", "10"))
     engine = os.environ.get("WLTPU_ENGINE", "flat")
-    os.environ.setdefault("WLTPU_MG_UNROLL", "8")
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
 
     if "WLTPU_BENCH_N" in os.environ:

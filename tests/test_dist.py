@@ -106,3 +106,78 @@ def test_uneven_split_rejected():
     sim = Simulation((30, 16), (1.0, 0.0), 4.0, dtype=F32)
     with pytest.raises(ValueError):
         DistSimulation(sim, make_mesh((8,)))
+
+
+# -------------------------------------------------- flat dist engine (x-split)
+# f64 so the comparison is discriminating: the flat-dist path reorders f32
+# reductions (per-shard partial sums + psum) enough to drift ~1e-5 from the
+# single-device 3D path after 3 steps, but in f64 it matches to ~1e-14 —
+# any real halo/flux bug shows up orders of magnitude above 1e-11.
+F64 = jnp.float64
+
+
+def run_dist_flat(mk, k, n=3, **kw):
+    d = DistSimulation(mk(), make_mesh((k,)), engine="flat")
+    for _ in range(n):
+        d.step_once(**kw)
+    return d
+
+
+def test_flat_dist_sphere():
+    # x-decomposed flat engine vs single device: static sphere, coarse gather
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64)
+    assert_match(run_ref(mk, remeasure=False),
+                 run_dist_flat(mk, 4, remeasure=False), atol=1e-11)
+
+
+def test_flat_dist_moving_body_remeasure():
+    # body crossing shard boundaries, re-measured each step
+    def mk():
+        ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+        body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0,
+                        lambda x, t: x - jnp.stack([t, 0 * t, 0 * t]))
+        return Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                          body=body, dtype=F64)
+
+    assert_match(run_ref(mk, remeasure=True),
+                 run_dist_flat(mk, 4, remeasure=True), atol=1e-11)
+
+
+def test_flat_dist_periodic_x_tgv():
+    # fully periodic 3D TGV, x sharded: ring wrap is the periodicity
+    L = 16
+    kappa = 2 * np.pi / L
+
+    def tgv(i, xyz):
+        x, y = xyz[0] * kappa, xyz[1] * kappa
+        return jnp.where(i == 0, -jnp.sin(x) * jnp.cos(y),
+                         jnp.where(i == 1, jnp.cos(x) * jnp.sin(y), 0.0))
+
+    mk = lambda: Simulation((L, L, L), (0.0, 0.0, 0.0), L, U=1.0, nu=0.01,
+                            perdir=(0, 1, 2), u0=tgv, dtype=F64)
+    assert_match(run_ref(mk, remeasure=False),
+                 run_dist_flat(mk, 4, remeasure=False), atol=1e-11)
+
+
+def test_flat_dist_exit_bc():
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, exit_bc=True, dtype=F64)
+    assert_match(run_ref(mk, remeasure=False),
+                 run_dist_flat(mk, 4, remeasure=False), atol=1e-11)
+
+
+def test_flat_dist_les_udf():
+    from waterlily_tpu.utils.les import sgs
+
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64)
+    assert_match(run_ref(mk, n=2, remeasure=False, udf=sgs()),
+                 run_dist_flat(mk, 4, n=2, remeasure=False, udf=sgs()),
+                 atol=1e-11)

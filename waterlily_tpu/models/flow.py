@@ -92,7 +92,10 @@ class FlowCfg:
     tol: float = 2e-3               # pressure solver tolerance
     itmx: int = 32                  # pressure solver max iterations
     smooth_it: int = 4              # MG smoother sweeps (`it`, `Poisson.jl:135`)
-    mg_unroll: int = 8              # cond-unrolled MG iterations (TPU pipelining)
+    mg_unroll: int = 0              # cond-unrolled MG iterations before the
+                                    # while_loop tail: 0 (pure while_loop) is
+                                    # both fastest and cheapest to compile
+                                    # (measured post div_k-fix, 128^3)
     fused_pc: bool = False          # fully-fused predictor/corrector kernel
 
     @property
@@ -443,7 +446,7 @@ class Flow:
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
                            scheme=scheme, dtype=dtype, tol=tol, itmx=itmx,
                            smooth_it=_env_int("WLTPU_SMOOTH_IT", smooth_it, 4),
-                           mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 8),
+                           mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 0),
                            fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)))
         if u0 is None:
             if callable(ubc):

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from ..ops import mgflat
 from ..ops.flat import (FlatGeom, bc_vector_flat, cfl_flat, div_flat,
                         exit_bc_flat, fshift, from_flat, geom_of,
-                        inside_mask_flat, proj_correct_flat, to_flat, xshift,
-                        yz_planes, zero_ghost_flat)
+                        inside_mask_flat, proj_correct_flat, slabx, to_flat,
+                        xshift, yz_planes, zero_ghost_flat)
 from .flow import FlowCfg, FlowState
 
 __all__ = ["flat_supported", "state_to_flat", "state_from_flat",
@@ -67,7 +67,7 @@ def _shift(a, st, s):
 
 
 def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom,
-                   perdir: tuple[int, ...] = ()) -> jax.Array:
+                   perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
     """`conv_diff!` (`src/Flow.jl:38-62`) on flat fields.
 
     Boundary-slab fixes in-stencil: non-periodic UP → central at j-index 1
@@ -78,15 +78,18 @@ def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom,
     periodic-filled ghost planes).  Ghost cells of the result are zero (the
     reference zero-fills `a.f`)."""
     from ..ops import pallas_flat as plf
+    from ..ops.dist import edge_hi, edge_lo, fetch_hi, fetch_lo, sharded
 
-    if plf.use_pallas_flat(u) and not perdir:
+    if plf.use_pallas_flat(u) and not perdir and ctx is None:
         return plf.conv_diff_k(u, nu, scheme, g)
     meta = _axis_meta(g, u.dtype)
     gx = jax.lax.broadcasted_iota(u.dtype, u.shape[1:], 0)
     ins = inside_mask_flat(g, u.shape[1:], u.dtype)
+    dist_x = ctx is not None and sharded(ctx, 0)
     out = []
     for i in range(3):
         f = u[i]
+        ax = f.ndim - 3           # x axis of a flat scalar field
         ri = jnp.zeros_like(f)
         for j in range(3):
             jf, n_j, st = meta[j]
@@ -96,26 +99,54 @@ def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom,
             f_m2 = _shift(f, st, -2)
             f_p1 = _shift(f, st, 1)
             uadv = 0.5 * (u[j] + _shift(u[j], meta[i][2], -1))
-            if j in perdir:
+            per = j in perdir
+            if j == 0 and dist_x:
+                # ring variant: slab-1 second-upwind from the left neighbor's
+                # row n-3 (self-wrap == the periodic phi_uP read); edge shards
+                # of non-periodic x keep the phi_uL/phi_uR one-sided fluxes
+                cds_b = 0.5 * (f + f_m1)
+                f_mm = fetch_lo(ctx, f, ax, 0, n_j - 3)
+                up = scheme(jnp.where(jf == 1, f_mm, f_m2), f_m1, f)
+                if not per:
+                    up = jnp.where((jf == 1) & edge_lo(ctx, 0), cds_b, up)
+                dn = jnp.where(jf == n_j - 1, cds_b, scheme(f_p1, f, f_m1))
+                phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - f_m1)
+                # top ghost flux: right neighbor's first flux plane (ring),
+                # except the physical outlet which keeps its phi_uR value
+                phi_wrap = fetch_hi(ctx, phi, ax, 0, 1)
+                if not per:
+                    phi_wrap = jnp.where(edge_hi(ctx, 0),
+                                         slabx(phi, n_j - 1), phi_wrap)
+                phi = jnp.where(jf == n_j - 1, phi_wrap, phi)
+            elif per:
                 f_m2 = jnp.where(jf == 1, _shift(f, st, n_j - 4), f_m2)
                 f_p1 = jnp.where(jf == n_j - 1, _shift(f, st, -(n_j - 3)),
                                  f_p1)
                 up = scheme(f_m2, f_m1, f)
                 dn = scheme(f_p1, f, f_m1)
+                phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - f_m1)
             else:
                 cds_b = 0.5 * (f + f_m1)
                 up = jnp.where(jf == 1, cds_b, scheme(f_m2, f_m1, f))
                 dn = jnp.where(jf == n_j - 1, cds_b, scheme(f_p1, f, f_m1))
-            phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - f_m1)
+                phi = uadv * jnp.where(uadv > 0, up, dn) - nu * (f - f_m1)
             ri = ri + (phi - _shift(phi, st, 1))
         out.append(ri * ins)
     return jnp.stack(out)
 
 
-def bdim_flat(u, u0, f, V, mu0, mu1, dt, g: FlatGeom) -> jax.Array:
-    """`BDIM!` (`src/Flow.jl:176-180`) on flat fields."""
+def bdim_flat(u, u0, f, V, mu0, mu1, dt, g: FlatGeom,
+              perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
+    """`BDIM!` (`src/Flow.jl:176-180`) on flat fields.  Under x-decomposition
+    f's halo rows are ring-refreshed first so the μ1·∇f* gradient is correct
+    for bodies straddling shard boundaries (the 3D path syncs f* itself,
+    `models.flow.bdim_update`; u0/V ghosts already carry halo values)."""
     from ..ops import pallas_flat as plf
+    from ..ops.dist import sync_scalar
 
+    if ctx is not None:
+        f = sync_scalar(f, ctx, perdir=(0,) if 0 in perdir else (),
+                        lead=f.ndim - 3, edge_zero=True)
     if plf.use_pallas_flat(u):
         return plf.bdim_k(u, u0, f, V, mu0, mu1, dt, g)
     meta = _axis_meta(g, u.dtype)
@@ -136,48 +167,55 @@ def _scale_interior_flat(u: jax.Array, s, g: FlatGeom) -> jax.Array:
     return u * (1.0 + (s - 1.0) * m)
 
 
-def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0):
+def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0,
+                  ctx=None, ctx3=None, n_dist: int = 0):
     """`mom_project!` (`src/Flow.jl:223-232`) on flat fields."""
     z = div_flat(u, g)
     x = p * dt_w
     res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
                                itmx=cfg.itmx, smooth_it=cfg.smooth_it,
-                               unroll=cfg.mg_unroll, perdir=cfg.perdir)
+                               unroll=cfg.mg_unroll, perdir=cfg.perdir,
+                               ctx=ctx, ctx3=ctx3, n_dist=n_dist)
     u = proj_correct_flat(u, res.x, fmg.fine.L, g)
     p = res.x / dt_w
     u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
-                       perdir=cfg.perdir, t=t)
+                       perdir=cfg.perdir, t=t, ctx=ctx, ctx3=ctx3)
     return u, p, res.iters, res.stats
 
 
-def accelerate_flat(f: jax.Array, t, cfg: FlowCfg, g: FlatGeom) -> jax.Array:
+def accelerate_flat(f: jax.Array, t, cfg: FlowCfg, g: FlatGeom,
+                    ctx3=None) -> jax.Array:
     """`accelerate!` (`src/Flow.jl:69-73`) for flat fields: the body force
     ``g(i,x,t)`` and the dU/dt frame term are evaluated by the 3D
     implementation (`models.flow.accelerate` vmaps the user callables over
     the face grids) and the increment converted — two layout passes, only on
-    configs that use acceleration."""
+    configs that use acceleration.  ``ctx3`` supplies global coordinate
+    offsets under decomposition."""
     if cfg.g is None and not callable(cfg.ubc):
         return f
     from .flow import accelerate
 
-    f3 = accelerate(from_flat(f, g), t, cfg.g, cfg.ubc, cfg.dtype)
+    f3 = accelerate(from_flat(f, g), t, cfg.g, cfg.ubc, cfg.dtype, ctx3)
     return to_flat(f3, g)
 
 
-def _apply_udf_flat(udf, f, state, u_into, u_adv, t, g: FlatGeom):
+def _apply_udf_flat(udf, f, state, u_into, u_adv, t, g: FlatGeom, ctx=None):
     """`udf!` (`src/Flow.jl:255-257`) on the flat engine.  A udf carrying a
-    ``flat`` attribute (e.g. `utils.les.sgs`) runs natively on flat fields;
-    otherwise the 3D-contract udf runs through layout conversion of the
-    fields it sees (f, state.u, u_adv)."""
+    ``flat`` attribute (e.g. `utils.les.sgs`) runs natively on flat fields
+    (and receives the halo ctx under decomposition); otherwise the
+    3D-contract udf runs through layout conversion of the fields it sees
+    (f, state.u, u_adv) — per-shard under decomposition, so only
+    position-independent forcings are decomposition-safe on that path."""
     if hasattr(udf, "flat"):
-        return udf.flat(f, dataclasses.replace(state, u=u_into), u_adv, t, g)
+        return udf.flat(f, dataclasses.replace(state, u=u_into), u_adv, t, g,
+                        ctx)
     st3 = state_from_flat(dataclasses.replace(state, u=u_into), g)
     f3 = udf(from_flat(f, g), st3, from_flat(u_adv, g), t)
     return to_flat(f3, g)
 
 
 def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
-               udf=None):
+               udf=None, ctx=None, ctx3=None):
     """conv_diff → udf → accelerate → BDIM → interior scale (one momentum
     phase, `mom_predict!`/`mom_correct!`, `src/Flow.jl:190-210`).  The fully-
     fused kernel (`pred_corr_k`) is opt-in (`FlowCfg.fused_pc`): measured
@@ -186,43 +224,49 @@ def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
     from ..ops import pallas_flat as plf
 
     plain = (udf is None and cfg.g is None and not callable(cfg.ubc)
-             and not cfg.perdir)
+             and not cfg.perdir and ctx is None)
     if plf.use_pallas_flat(u_adv) and cfg.fused_pc and plain:
         return plf.pred_corr_k(u_adv, u_base, u0, state.V, state.mu0,
                                state.mu1, dt, state.nu, cfg.scheme,
                                keep_base, scale, g)
-    f = conv_diff_flat(u_adv, cfg.scheme, state.nu, g, cfg.perdir)
+    f = conv_diff_flat(u_adv, cfg.scheme, state.nu, g, cfg.perdir, ctx)
     if udf is not None:
         u_into = u_base if keep_base else _scale_interior_flat(u_base, 0.0, g)
-        f = _apply_udf_flat(udf, f, state, u_into, u_adv, f_t, g)
-    f = accelerate_flat(f, f_t, cfg, g)
+        f = _apply_udf_flat(udf, f, state, u_into, u_adv, f_t, g, ctx)
+    f = accelerate_flat(f, f_t, cfg, g, ctx3)
     u = u_base if keep_base else _scale_interior_flat(u_base, 0.0, g)
-    u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g)
+    u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g,
+                  cfg.perdir, ctx)
     if scale != 1.0:
         u = _scale_interior_flat(u, scale, g)
     return u
 
 
 def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
-                       g: FlatGeom, dt, t0, udf=None):
-    """One full time step on flat state (`mom_step!`, `src/Flow.jl:156-167`)."""
+                       g: FlatGeom, dt, t0, udf=None, ctx=None, ctx3=None,
+                       n_dist: int = 0):
+    """One full time step on flat state (`mom_step!`, `src/Flow.jl:156-167`).
+    ``ctx`` (1-dim flat x ctx) / ``ctx3`` (3-dim) / ``n_dist`` select the
+    x-decomposed shard_map variant (`parallel.dist.DistFlat`)."""
     t1 = t0 + dt
     u0 = state.u
     state = dataclasses.replace(state, u0=u0)
     # predictor (`Flow.jl:157-161`)
-    u = _half_step(u0, u0, u0, state, cfg, dt, t0, 0.0, 1.0, g, udf)
+    u = _half_step(u0, u0, u0, state, cfg, dt, t0, 0.0, 1.0, g, udf, ctx, ctx3)
     u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
-                       perdir=cfg.perdir, t=t1)
+                       perdir=cfg.perdir, t=t1, ctx=ctx, ctx3=ctx3)
     if cfg.exit_bc:
-        u = exit_bc_flat(u, u0, dt, g)
-    u, p, n1, s1 = _project_flat(u, state.p, fmg, masks, dt, cfg, g, t1)
+        u = exit_bc_flat(u, u0, dt, g, ctx)
+    u, p, n1, s1 = _project_flat(u, state.p, fmg, masks, dt, cfg, g, t1,
+                                 ctx, ctx3, n_dist)
     # corrector (`Flow.jl:163-165`)
-    u = _half_step(u, u, u0, state, cfg, dt, t1, 1.0, 0.5, g, udf)
+    u = _half_step(u, u, u0, state, cfg, dt, t1, 1.0, 0.5, g, udf, ctx, ctx3)
     u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
-                       perdir=cfg.perdir, t=t1)
-    u, p, n2, s2 = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g, t1)
+                       perdir=cfg.perdir, t=t1, ctx=ctx, ctx3=ctx3)
+    u, p, n2, s2 = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g, t1,
+                                 ctx, ctx3, n_dist)
     state = dataclasses.replace(state, u=u, p=p)
-    dt_next = cfl_flat(u, state.nu, g)
+    dt_next = cfl_flat(u, state.nu, g, ctx=ctx)
     return state, dt_next, jnp.stack([n1, n2]), jnp.stack([s1, s2])
 
 

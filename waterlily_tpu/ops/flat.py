@@ -146,6 +146,34 @@ def zero_ghost_flat(a: jax.Array, g: FlatGeom) -> jax.Array:
 
 
 # ------------------------------------------------------------------- BC
+def sync_ghost_flat(a: jax.Array, perdir: tuple[int, ...], g: FlatGeom,
+                    ctx=None, edge_zero: bool = True) -> jax.Array:
+    """Ghost refresh of a flat field under optional x-decomposition.
+
+    ``ctx`` is a 1-spatial-dim `ops.dist.DistCtx` over the x axis (the flat
+    layout's leading spatial dim, array axis ``ndim-3``): x ghosts come from
+    a ring `ppermute` halo exchange (physical-edge ghosts zeroed under
+    ``edge_zero``, kept otherwise — the solver-field vs velocity-field
+    conventions of `ops.dist.sync_scalar`), and the ring wrap IS the x
+    periodicity.  y/z periodic wraps stay local (the plane is never split).
+    """
+    from .dist import sync_scalar
+
+    if ctx is not None:
+        a = sync_scalar(a, ctx, perdir=(0,) if 0 in perdir else (),
+                        lead=a.ndim - 3, edge_zero=edge_zero)
+        return per_bc_flat(a, tuple(d for d in perdir if d != 0), g)
+    return per_bc_flat(a, perdir, g)
+
+
+def x_parity(ctx) -> int:
+    """Global parity offset of local x row 0 (red-black coloring across
+    shards; 0 when undistributed)."""
+    if ctx is None:
+        return 0
+    return (ctx.coords[0] * ctx.n_loc[0]) % 2
+
+
 def per_bc_flat(a: jax.Array, perdir: tuple[int, ...], g: FlatGeom
                 ) -> jax.Array:
     """Periodic ghost update of a flat scalar field (`perBC!`,
@@ -171,7 +199,8 @@ def per_bc_flat(a: jax.Array, perdir: tuple[int, ...], g: FlatGeom
 
 
 def bc_vector_flat(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False,
-                   perdir: tuple[int, ...] = (), t=0.0) -> jax.Array:
+                   perdir: tuple[int, ...] = (), t=0.0, ctx=None,
+                   ctx3=None) -> jax.Array:
     """`BC!` (`src/core.jl:199-224`) on a flat vector field (D, Nx, S, 128):
     Dirichlet on the normal component (ghost slab and first interior face),
     tangential ghosts copy the first interior value (the constant-spec
@@ -181,15 +210,19 @@ def bc_vector_flat(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False,
     agree.  Callable ``ubc(i, x, t)`` specs are evaluated on the 3D face grid
     and flattened (the constant path stays kernel-eligible)."""
     from . import pallas_flat as plf
+    from .dist import edge_hi, edge_lo, fetch_hi, fetch_lo, offsets, sharded
 
-    if plf.use_pallas_flat(u) and not perdir and not callable(ubc):
+    dist_x = ctx is not None and sharded(ctx, 0)
+    if plf.use_pallas_flat(u) and not perdir and not callable(ubc) \
+            and not dist_x:
         return plf.bc_k(u, ubc, g, save_exit)
     D = u.shape[0]
     yv, zv, _ = yz_planes(g, u.dtype)
     if callable(ubc):
         from .bc import bc_field
 
-        Us = [to_flat(bc_field(ubc, i, g.shape3, t, u.dtype), g)
+        off = offsets(ctx3, g.shape3) if ctx3 is not None else None
+        Us = [to_flat(bc_field(ubc, i, g.shape3, t, u.dtype, off), g)
               for i in range(D)]
     else:
         Us = [jnp.asarray(ubc[i], u.dtype) for i in range(D)]
@@ -201,7 +234,47 @@ def bc_vector_flat(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False,
         const = Ui.ndim == 0
         for j in range(D):
             per = j in perdir
-            if j == 0:
+            if j == 0 and dist_x:
+                # sharded x: ring halos fill the ghosts; physical-edge shards
+                # overwrite with the Dirichlet/Neumann values (mirrors the
+                # sharded branch of `ops.bc.bc_vector`)
+                ix = _x_iota(ui)
+                n = g.Nx
+                ax = ui.ndim - 3
+                lo_h = fetch_lo(ctx, ui, ax, 0, n - 2)
+                hi_h = fetch_hi(ctx, ui, ax, 0, 1)
+                set_one = False
+                if per:
+                    lo, hi = lo_h, hi_h
+                elif i == j:
+                    lo_bc = Ui if const else slabx(Ui, 0)
+                    one_bc = Ui if const else slabx(Ui, 1)
+                    lo = jnp.where(edge_lo(ctx, 0),
+                                   jnp.broadcast_to(lo_bc, lo_h.shape), lo_h)
+                    one = jnp.where(edge_lo(ctx, 0),
+                                    jnp.broadcast_to(one_bc, lo_h.shape),
+                                    slabx(ui, 1))
+                    set_one = True
+                    if save_exit and i == 0:
+                        hi = jnp.where(edge_hi(ctx, 0), slabx(ui, n - 1), hi_h)
+                    else:
+                        hi_bc = Ui if const else slabx(Ui, n - 1)
+                        hi = jnp.where(edge_hi(ctx, 0),
+                                       jnp.broadcast_to(hi_bc, hi_h.shape),
+                                       hi_h)
+                else:
+                    if const:
+                        lo_bc, hi_bc = slabx(ui, 1), slabx(ui, n - 2)
+                    else:
+                        lo_bc = slabx(Ui, 0) + slabx(ui, 1) - slabx(Ui, 1)
+                        hi_bc = slabx(Ui, n - 1) + slabx(ui, n - 2) \
+                            - slabx(Ui, n - 2)
+                    lo = jnp.where(edge_lo(ctx, 0), lo_bc, lo_h)
+                    hi = jnp.where(edge_hi(ctx, 0), hi_bc, hi_h)
+                ui = jnp.where(ix == 0, lo, jnp.where(ix == n - 1, hi, ui))
+                if set_one:
+                    ui = jnp.where(ix == 1, one, ui)
+            elif j == 0:
                 ix = _x_iota(ui)
                 n = g.Nx
                 if per:
@@ -256,17 +329,32 @@ def slabx(a: jax.Array, idx: int) -> jax.Array:
     return a[..., idx:idx + 1, :, :]
 
 
-def exit_bc_flat(u: jax.Array, u_old: jax.Array, dt, g: FlatGeom) -> jax.Array:
+def exit_bc_flat(u: jax.Array, u_old: jax.Array, dt, g: FlatGeom,
+                 ctx=None) -> jax.Array:
     """`exitBC!` (`src/core.jl:226-233`): 1-D convective outlet on the x-high
-    plane of u_x plus the global mass-flux correction, on flat fields."""
+    plane of u_x plus the global mass-flux correction, on flat fields.  Under
+    x-decomposition the inflow/outflow plane means are edge-masked `psum`s
+    and the exit update applies on the high-edge shard only."""
+    from .dist import edge_hi, edge_lo, psum_all, sharded
+
     _, _, ins = yz_planes(g, u.dtype)
     cnt = (g.Ny - 2) * (g.Nz - 2)
-    u_in = jnp.sum(slabx(u[0], 1) * ins) / cnt
+    ix = _x_iota(u[0])
+    if ctx is None or not sharded(ctx, 0):
+        u_in = jnp.sum(slabx(u[0], 1) * ins) / cnt
+        ue = slabx(u_old[0], g.Nx - 1)
+        new = ue - u_in * dt * (ue - slabx(u_old[0], g.Nx - 2))
+        new = new - (jnp.sum(new * ins) / cnt - u_in)
+        return u.at[0].set(jnp.where((ix == g.Nx - 1) & (ins > 0), new, u[0]))
+    lo0, hi0 = edge_lo(ctx, 0), edge_hi(ctx, 0)
+    u_in = psum_all(jnp.sum(jnp.where(lo0, slabx(u[0], 1) * ins, 0.0)),
+                    ctx) / cnt
     ue = slabx(u_old[0], g.Nx - 1)
     new = ue - u_in * dt * (ue - slabx(u_old[0], g.Nx - 2))
-    new = new - (jnp.sum(new * ins) / cnt - u_in)
-    ix = _x_iota(u[0])
-    return u.at[0].set(jnp.where((ix == g.Nx - 1) & (ins > 0), new, u[0]))
+    corr = psum_all(jnp.sum(jnp.where(hi0, new * ins, 0.0)), ctx) / cnt - u_in
+    new = new - corr
+    return u.at[0].set(jnp.where((ix == g.Nx - 1) & (ins > 0) & hi0, new,
+                                 u[0]))
 
 
 # ------------------------------------------------------------- flow ops
@@ -282,13 +370,16 @@ def div_flat(u: jax.Array, g: FlatGeom) -> jax.Array:
     return zero_ghost_flat(s, g)
 
 
-def cfl_flat(u: jax.Array, nu, g: FlatGeom, dt_max: float = 10.0):
-    """`CFL` (`src/Flow.jl:234-244`) on flat fields."""
+def cfl_flat(u: jax.Array, nu, g: FlatGeom, dt_max: float = 10.0, ctx=None):
+    """`CFL` (`src/Flow.jl:234-244`) on flat fields; `pmax` under
+    decomposition."""
+    from .dist import pmax_all
+
     s = jnp.zeros(u.shape[1:], u.dtype)
     for i, st in ((0, None), (1, g.Nz), (2, 1)):
         up = xshift(u[i], 1) if st is None else fshift(u[i], st)
         s = s + jnp.maximum(0.0, up) + jnp.maximum(0.0, -u[i])
-    m = jnp.max(zero_ghost_flat(s, g))
+    m = pmax_all(jnp.max(zero_ghost_flat(s, g)), ctx)
     return jnp.minimum(jnp.asarray(dt_max, u.dtype), 1.0 / (m + 5 * nu))
 
 
@@ -316,12 +407,14 @@ def set_diag_flat(L: jax.Array, g: FlatGeom):
 
 
 def mult_flat(L: jax.Array, D: jax.Array, x: jax.Array, g: FlatGeom,
-              perdir: tuple[int, ...] = ()) -> jax.Array:
-    """A·x (`mult`, `Poisson.jl:63-76`); ghosts/tail zero.  ``perdir`` wraps
-    x's ghost planes first (`perBC!(x)`, `Poisson.jl:65`)."""
+              perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
+    """A·x (`mult`, `Poisson.jl:63-76`); ghosts/tail zero.  x's ghost planes
+    are refreshed first (`perBC!(x)`, `Poisson.jl:65`; ring halos under
+    x-decomposition) — with valid ghosts the kernel path covers periodic and
+    distributed configs unchanged."""
     from . import pallas_flat as plf
 
-    x = per_bc_flat(x, perdir, g)
+    x = sync_ghost_flat(x, perdir, g, ctx)
     if plf.use_pallas_flat(x):
         return plf.mult_k(x, L, D, g)
     s = x * D
@@ -334,72 +427,96 @@ def mult_flat(L: jax.Array, D: jax.Array, x: jax.Array, g: FlatGeom,
 
 
 def residual_flat(L, D, iD, x, z, g: FlatGeom,
-                  perdir: tuple[int, ...] = ()) -> jax.Array:
+                  perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
     """r = z − A·x with the null-space fixes (`Poisson.jl:92-98`)."""
-    r = jnp.where(iD == 0, 0.0, z - mult_flat(L, D, x, g, perdir))
+    from .dist import psum_all
+
+    r = jnp.where(iD == 0, 0.0, z - mult_flat(L, D, x, g, perdir, ctx))
     r = zero_ghost_flat(r, g)
-    n = (g.Nx - 2) * (g.Ny - 2) * (g.Nz - 2)
-    s = jnp.sum(r) / n
+    n = _global_n(g, ctx)
+    s = psum_all(jnp.sum(r), ctx) / n
     eps2 = 2 * jnp.finfo(x.dtype).eps
     return r - jnp.where(jnp.abs(s) <= eps2, 0.0, s) * inside_mask_flat(g, r.shape, r.dtype)
 
 
-def norms_flat(r: jax.Array):
+def _global_n(g: FlatGeom, ctx) -> int:
+    k = 1 if ctx is None else ctx.sizes[0]
+    return (g.Nx - 2) * k * (g.Ny - 2) * (g.Nz - 2)
+
+
+def norms_flat(r: jax.Array, ctx=None):
+    from .dist import pmax_all, psum_all
+
     a = jnp.abs(r)
-    return jnp.sum(a), jnp.max(a)
+    return psum_all(jnp.sum(a), ctx), pmax_all(jnp.max(a), ctx)
 
 
-def interior_mean_flat(x: jax.Array, g: FlatGeom):
-    n = (g.Nx - 2) * (g.Ny - 2) * (g.Nz - 2)
-    return jnp.sum(zero_ghost_flat(x, g)) / n
+def interior_mean_flat(x: jax.Array, g: FlatGeom, ctx=None):
+    from .dist import psum_all
+
+    return psum_all(jnp.sum(zero_ghost_flat(x, g)), ctx) / _global_n(g, ctx)
 
 
 def increment_flat(L, D, x, r, eps, omega, g: FlatGeom,
-                   perdir: tuple[int, ...] = ()):
+                   perdir: tuple[int, ...] = (), ctx=None):
     """x += ω·eps, r −= ω·A·eps (`increment!`, `Poisson.jl:100-104`)."""
     from . import pallas_flat as plf
 
-    if plf.use_pallas_flat(x) and not perdir:
+    eps = sync_ghost_flat(eps, perdir, g, ctx)
+    if plf.use_pallas_flat(x):
         return plf.increment_k(x, r, eps, L, D, omega, g)
-    r = r - omega * mult_flat(L, D, eps, g, perdir)
+    r = r - omega * _mult_synced(L, D, eps, g)
     x = x + omega * zero_ghost_flat(eps, g)
     return x, r
 
 
+def _mult_synced(L, D, x, g: FlatGeom) -> jax.Array:
+    """A·x assuming x's ghosts already hold the right values (jnp path)."""
+    s = x * D
+    for i, st in ((0, None), (1, g.Nz), (2, 1)):
+        if st is None:
+            s = s + xshift(x, -1) * L[i] + xshift(x, 1) * xshift(L[i], 1)
+        else:
+            s = s + fshift(x, -st) * L[i] + fshift(x, st) * fshift(L[i], st)
+    return zero_ghost_flat(s, g)
+
+
 def jacobi_flat(L, D, iD, x, r, g: FlatGeom, it: int = 1, omega=1.0,
-                perdir: tuple[int, ...] = ()):
+                perdir: tuple[int, ...] = (), ctx=None):
     """Jacobi smoother (`Jacobi!`, `Poisson.jl:111-114`)."""
     from . import pallas_flat as plf
 
     for _ in range(it):
-        if plf.use_pallas_flat(x) and not perdir:
+        if plf.use_pallas_flat(x) and not perdir and ctx is None:
             x, r = plf.jacobi_incr(x, r, L, D, iD, omega, g)
         else:
             eps = zero_ghost_flat(r * iD, g)
-            x, r = increment_flat(L, D, x, r, eps, omega, g, perdir)
+            x, r = increment_flat(L, D, x, r, eps, omega, g, perdir, ctx)
     return x, r
 
 
 def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0,
-                         perdir: tuple[int, ...] = ()):
+                         perdir: tuple[int, ...] = (), ctx=None):
     """Red-black Gauss-Seidel + increment (`GaussSeidelRB!`,
     `Poisson.jl:124-148`): the k-plane coloring is the index-sum
     checkerboard; each half-sweep is a masked whole-plane update.  Under
-    periodic directions the correction's ghost planes are re-wrapped before
-    every sweep (`perBC!(p.ϵ)`, `Poisson.jl:143`), matching the 3D path."""
+    periodic directions / x-decomposition the correction's ghost planes are
+    refreshed before every sweep (`perBC!(p.ϵ)`, `Poisson.jl:143`; ring halo
+    per color like the 3D dist path), and the checkerboard parity carries the
+    shard's global x offset."""
     from . import pallas_flat as plf
 
     Dim = 3
     colors = [(1 - Dim - k0) % 2 for k0 in range(1, it + 1)]
-    if plf.use_pallas_flat(x) and not perdir:
+    if plf.use_pallas_flat(x) and not perdir and ctx is None:
         return plf.gs_incr(x, r, L, D, iD, colors, omega, g)
     yv, zv, insf = yz_planes(g, x.dtype)
     ix = _x_iota(x)
-    par = (ix + yv + zv) % 2
+    par = (ix + x_parity(ctx) + yv + zv) % 2
     ins = (insf > 0) & (ix >= 1) & (ix <= g.Nx - 2)
     eps = zero_ghost_flat(r * iD, g)
     for color in colors:
-        eps = per_bc_flat(eps, perdir, g)
+        eps = sync_ghost_flat(eps, perdir, g, ctx)
         s = r
         for i, st in ((0, None), (1, g.Nz), (2, 1)):
             if st is None:
@@ -407,4 +524,4 @@ def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0,
             else:
                 s = s - (fshift(eps, -st) * L[i] + fshift(eps, st) * fshift(L[i], st))
         eps = jnp.where((par == color) & ins, s * iD, eps)
-    return increment_flat(L, D, x, r, eps, omega, g, perdir)
+    return increment_flat(L, D, x, r, eps, omega, g, perdir, ctx)

@@ -75,12 +75,16 @@ def update_mg_flat(masks, mu0_3d: jax.Array, g: FlatGeom,
     return _flatten_stack(levels, g, masks)
 
 
-def _flatten_stack(levels, g: FlatGeom, masks=None) -> FlatMG:
+def _flatten_stack(levels, g: FlatGeom, masks=None, n_dist: int = 0) -> FlatMG:
     if masks is None:
         # legacy call signature: only the fine level flat
         nf = 1
     else:
         nf = _n_flat(g, tuple(masks))
+    if n_dist:
+        # distributed: flat levels never extend past the distributed prefix,
+        # so the coarse-grid gather always lands on the flat -> tail boundary
+        nf = max(1, min(nf, n_dist))
     geoms = [geom_of(lv.L.shape[1:]) for lv in levels[:nf]]
 
     def flat_level(lv, gl):
@@ -99,56 +103,85 @@ def _level(fmg: FlatMG, l: int) -> PoissonLevel:
 
 def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
                   smooth_it: int = 4, l: int = 0,
-                  perdir: tuple[int, ...] = ()):
+                  perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
+                  n_dist: int = 0):
     """One V-cycle level step (`Vcycle!`, `MultiLevelPoisson.jl:88-101`) with
-    levels < len(mids)+1 in flat layout."""
+    levels < len(mids)+1 in flat layout.
+
+    Distributed (x-decomposed) mode: ``ctx`` is the 1-dim flat ctx of the
+    local blocks, ``ctx3`` the matching 3-dim ctx for the gather/slice at the
+    coarse-grid transition.  Flat levels are capped at ``n_dist`` by the
+    builder, so the all-gather transition always lands on the flat→tail
+    boundary; a deeper distributed tail recurses into `mg.v_cycle`'s own
+    distributed logic with the level-local ``n_dist`` offset."""
+    from .dist import gather_scalar, slice_local
+
     geoms = _level_geoms(g, tuple(masks))
     lv, gl = _level(fmg, l), geoms[l]
     n_flat = 1 + len(fmg.mids)
     n_levels = n_flat + len(fmg.tail)
 
     x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0,
-                       perdir=perdir)
-    rc3 = mg.restrict(from_flat(r, gl), masks[l])
+                       perdir=perdir, ctx=ctx)
     if l + 1 < n_flat:
+        rc3 = mg.restrict(from_flat(r, gl), masks[l])
         clv, gc = _level(fmg, l + 1), geoms[l + 1]
         rc = to_flat(rc3, gc)
         xc = jnp.zeros_like(rc)
         if l + 2 < n_levels:
             xc, rc = _v_cycle_flat(fmg, masks, xc, rc, omega, g, smooth_it,
-                                   l + 1, perdir)
+                                   l + 1, perdir, ctx, ctx3, n_dist)
         xc, rc = gauss_seidel_rb_flat(clv.L, clv.D, clv.iD, xc, rc, gc,
-                                      it=smooth_it, omega=omega, perdir=perdir)
+                                      it=smooth_it, omega=omega, perdir=perdir,
+                                      ctx=ctx)
         eps3 = mg.prolongate(from_flat(xc, gc), masks[l])
-    else:
+    elif ctx is not None and l == n_dist - 1:
+        # coarse-grid gather: restrict the gathered residual, run the
+        # replicated tail, slice the correction back (`v_cycle` transition)
+        rg = gather_scalar(from_flat(r, gl), ctx3)
+        rc3 = mg.restrict(rg, masks[l])
         xc = jnp.zeros_like(rc3)
         if len(fmg.tail) > 1:
             xc, rc3 = mg.v_cycle(fmg.tail, masks[l + 1:], xc, rc3, omega,
                                  perdir, 0, smooth_it)
         xc, _ = gauss_seidel_rb(fmg.tail[0], xc, rc3, it=smooth_it,
                                 omega=omega, perdir=perdir)
+        eps3 = slice_local(mg.prolongate(xc, masks[l]), ctx3)
+    else:
+        rc3 = mg.restrict(from_flat(r, gl), masks[l])
+        xc = jnp.zeros_like(rc3)
+        sub3 = ctx3 if (ctx is not None and l + 1 < n_dist) else None
+        nd_tail = max(0, n_dist - (l + 1)) if ctx is not None else 0
+        if len(fmg.tail) > 1:
+            xc, rc3 = mg.v_cycle(fmg.tail, masks[l + 1:], xc, rc3, omega,
+                                 perdir, 0, smooth_it, sub3, nd_tail)
+        xc, _ = gauss_seidel_rb(fmg.tail[0], xc, rc3, it=smooth_it,
+                                omega=omega, perdir=perdir, ctx=sub3)
         eps3 = mg.prolongate(xc, masks[l])
     return increment_flat(lv.L, lv.D, x, r, to_flat(eps3, gl), omega, gl,
-                          perdir)
+                          perdir, ctx)
 
 
 def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   itmx: int = 32, smooth_it: int = 4,
                   unroll: int = 8,
-                  perdir: tuple[int, ...] = ()) -> mg.MGSolveResult:
+                  perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
+                  n_dist: int = 0) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
     backend).  ``smooth_it`` matches the reference smoother tunable
     (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`); both knobs come from
-    `FlowCfg` — no environment reads at trace time."""
+    `FlowCfg` — no environment reads at trace time.  ``ctx``/``ctx3``/
+    ``n_dist`` select the x-decomposed variant (see `_v_cycle_flat`)."""
+    from .flat import _global_n
+
     f = fmg.fine
     dtype = x.dtype
-    n_in = (g.Nx - 2) * (g.Ny - 2) * (g.Nz - 2)
-    r1tol = jnp.asarray((tol / 10.0) * n_in, dtype)
+    r1tol = jnp.asarray((tol / 10.0) * _global_n(g, ctx), dtype)
     rinf_tol = jnp.asarray(tol, dtype)
-    r = residual_flat(f.L, f.D, f.iD, x, z, g, perdir)
-    r1, rinf = norms_flat(r)
+    r = residual_flat(f.L, f.D, f.iD, x, z, g, perdir, ctx)
+    r1, rinf = norms_flat(r, ctx)
     omega = jnp.asarray(1.0, dtype)
     stats = jnp.zeros((itmx + 1, 3), dtype).at[0].set(jnp.stack([rinf, r1, omega]))
 
@@ -159,10 +192,10 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     def body(c):
         x, r, r1, rinf, omega, n, stats = c
         x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
-                             perdir=perdir)
+                             perdir=perdir, ctx=ctx, ctx3=ctx3, n_dist=n_dist)
         x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g, it=smooth_it,
-                                    omega=omega, perdir=perdir)
-        rnew, rinf = norms_flat(r)
+                                    omega=omega, perdir=perdir, ctx=ctx)
+        rnew, rinf = norms_flat(r, ctx)
         omega = jnp.where(rnew >= r1,
                           jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),
                           jnp.minimum(jnp.asarray(1.0, dtype), 1.02 * omega))
@@ -176,21 +209,20 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     from . import pallas_flat as plf
 
     k_unroll = min(itmx, unroll) if (plf.use_pallas_flat(x)
-                                     and not perdir) else 0
+                                     and not perdir and ctx is None) else 0
     for _ in range(k_unroll):
         carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
     if itmx > k_unroll:
-        plf._IN_LOOP = True   # jnp flat path inside the while_loop tail
-        try:
-            carry = jax.lax.while_loop(cond, body, carry)
-        finally:
-            plf._IN_LOOP = False
+        carry = jax.lax.while_loop(cond, body, carry)
     x, r, r1, rinf, omega, n, stats = carry
     # canonical pressure gauge: zero mean on active cells, zero at dead
     # cells, ghosts kept (see `ops.multigrid.canonical_gauge`)
+    from .dist import psum_all
+    from .flat import sync_ghost_flat
+
     ins = inside_mask_flat(g, x.shape, x.dtype)
     act = jnp.where(f.iD != 0, ins, 0.0)
-    m = jnp.sum(x * act) / jnp.maximum(jnp.sum(act), 1.0)
+    m = psum_all(jnp.sum(x * act), ctx) / jnp.maximum(
+        psum_all(jnp.sum(act), ctx), 1.0)
     x = jnp.where(act > 0, x - m, x * (1.0 - ins))
-    from .flat import per_bc_flat
-    return mg.MGSolveResult(per_bc_flat(x, perdir, g), r, n, stats)
+    return mg.MGSolveResult(sync_ghost_flat(x, perdir, g, ctx), r, n, stats)

@@ -296,11 +296,7 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
     for _ in range(unroll):
         carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
     if itmx > unroll:
-        pl3._IN_LOOP = True   # trace-time: jnp path inside the tail loop
-        try:
-            carry = jax.lax.while_loop(cond, body, carry)
-        finally:
-            pl3._IN_LOOP = False
+        carry = jax.lax.while_loop(cond, body, carry)
     x, r, r1, rinf, omega, n, stats = carry
     x = canonical_gauge(x, p.iD, fine_ctx)
     return MGSolveResult(sync_scalar(x, fine_ctx, perdir), r, n, stats)

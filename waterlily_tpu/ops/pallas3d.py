@@ -32,10 +32,10 @@ __all__ = ["use_pallas", "conv_diff3d_generic", "gauss_sweep3d", "gauss_sweeps3d
 
 _BLK = 32    # x/y rows per output block
 _INTERPRET = False   # set True to run kernels in interpreter mode (tests)
-_IN_LOOP = False     # trace-time flag: inside a lax.while_loop body, pallas
-                     # custom calls de-pipeline catastrophically on the
-                     # tunneled backend (measured 15x), so the gate disables
-                     # them there
+_IN_LOOP = False     # manual switch to the jnp reference path (tests/bench);
+                     # the round-1 "de-pipelines 15x in while_loop" claim was
+                     # an artifact of the div_k race — solver code no longer
+                     # sets this (see ops.pallas_flat._IN_LOOP)
 
 
 def use_pallas(a: jax.Array, ctx=None) -> bool:

@@ -36,9 +36,14 @@ __all__ = ["use_pallas_flat", "conv_diff_k", "bdim_k", "pred_corr_k",
            "bc_k"]
 
 _INTERPRET = False
-_IN_LOOP = False     # trace-time: inside a lax.while_loop body Pallas custom
-                     # calls de-pipeline ~15x on the tunneled backend — use
-                     # the jnp flat path there (see ops.pallas3d._IN_LOOP)
+_IN_LOOP = False     # manual switch to the jnp flat reference path (used by
+                     # benchmarks/stress_kernels.py).  NOTE: round 1 claimed
+                     # Pallas "de-pipelines 15x inside lax.while_loop" and
+                     # gated the kernels off there — that measurement was an
+                     # artifact of the div_k race; re-measured after the fix,
+                     # pallas-in-while_loop is the FASTEST solver variant
+                     # (10.9 ms vs 12.3 cond-unrolled at 128^3) and compiles
+                     # 2.4x faster, so the solvers no longer set this flag.
 
 
 def use_pallas_flat(a: jax.Array) -> bool:

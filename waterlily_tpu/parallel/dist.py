@@ -108,6 +108,13 @@ def from_blocked(a, sizes: tuple[int, ...], lead: int = 0) -> np.ndarray:
     return a
 
 
+def _dist_on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
 class DistSimulation:
     """Domain-decomposed drop-in for `Simulation`.
 
@@ -122,7 +129,7 @@ class DistSimulation:
     and at least the finest multigrid level must remain distributable.
     """
 
-    def __init__(self, sim: Simulation, mesh: Mesh):
+    def __init__(self, sim: Simulation, mesh: Mesh, engine: str = "auto"):
         cfg = sim.flow.cfg
         D = cfg.D
         self.mesh = mesh
@@ -143,6 +150,19 @@ class DistSimulation:
         self.state = self._put_state(sim.flow.state)
         self.levels = self._build_levels()
         self.solver_stats = None
+        # flat (x, y·z) fast path: x-only decomposition of a 3D mg config
+        from ..models import flowflat as ffm
+
+        flat_ok = (D == 3 and self.sizes[0] > 1
+                   and all(k == 1 for k in self.sizes[1:])
+                   and sim.psolver == "mg" and ffm.flat_supported(cfg))
+        self._flat_mode = engine == "flat" or (engine == "auto" and flat_ok
+                                               and _dist_on_tpu())
+        if self._flat_mode and not flat_ok:
+            raise ValueError("flat dist engine needs a 3D mg config decomposed"
+                             " over the x mesh axis only")
+        if self._flat_mode:
+            self._flat_setup()
 
     # ------------------------------------------------------------ specs
     def _specs(self, lead: int):
@@ -189,12 +209,15 @@ class DistSimulation:
 
         return jax.jit(build)(self.state.mu0)
 
+    def _state_specs(self):
+        return fl.FlowState(
+            u=self._specs(1), u0=self._specs(1), p=self._specs(0),
+            V=self._specs(1), mu0=self._specs(1), mu1=self._specs(2), nu=P())
+
     def _step_fn(self, udf):
         cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
         axes, sizes = self.axes, self.sizes
-        state_specs = fl.FlowState(
-            u=self._specs(1), u0=self._specs(1), p=self._specs(0),
-            V=self._specs(1), mu0=self._specs(1), mu1=self._specs(2), nu=P())
+        state_specs = self._state_specs()
         stats_spec = (state_specs, P(), P(), P())
 
         @partial(jax.jit, static_argnames=())
@@ -205,6 +228,96 @@ class DistSimulation:
             ctx = make_ctx(axes, sizes, state.p.shape)
             return fl.mom_step_impl(cfg, state, levels, masks, dt, t0, udf,
                                     None, ctx, n_dist)
+
+        return step
+
+    # -------------------------------------------------- flat (x, y·z) mode
+    def _flat_setup(self):
+        """Per-shard flat-layout engine for x-only decomposition: every local
+        block runs `models.flowflat` (Pallas kernels on TPU) with ring halo
+        exchange on x slabs; the multigrid coarse-grid gather reuses the 3D
+        machinery (`ops.mgflat._v_cycle_flat` distributed mode)."""
+        from ..ops import flat as fo
+        from ..ops import mgflat
+
+        cfg = self.cfg
+        k = self.sizes[0]
+        nxl = (cfg.shape[0] - 2) // k
+        self._gl = fo.geom_of((nxl + 2,) + cfg.shape[1:])
+        gl = self._gl
+        # flat-level depth (static): mirrors `mgflat._flatten_stack`
+        nf = max(1, min(mgflat._n_flat(gl, tuple(self.masks)), self.n_dist))
+        self._nf = nf
+
+        def fspec(lead):
+            return P(*((None,) * lead + (self.axes[0], None, None)))
+
+        self._fspec = fspec
+        lvl_specs = []
+        for l in range(self.n_levels):
+            if l < nf:      # flat, distributed
+                lvl_specs.append(mg.PoissonLevel(fspec(1), fspec(0), fspec(0)))
+            elif l < self.n_dist:   # 3D, still distributed
+                lvl_specs.append(mg.PoissonLevel(self._specs(1),
+                                                 self._specs(0),
+                                                 self._specs(0)))
+            else:           # 3D, replicated
+                lvl_specs.append(mg.PoissonLevel(P(), P(), P()))
+        self._fmg_specs = mgflat.FlatMG(lvl_specs[0], tuple(lvl_specs[1:nf]),
+                                        tuple(lvl_specs[nf:]))
+        self._fstate_specs = fl.FlowState(
+            u=fspec(1), u0=fspec(1), p=fspec(0), V=fspec(1), mu0=fspec(1),
+            mu1=fspec(2), nu=P())
+
+        @jax.jit
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(self._state_specs(),),
+                 out_specs=self._fstate_specs, check_vma=False)
+        def to_flat_state(state):
+            c = lambda a: fo.to_flat(a, gl)
+            return fl.FlowState(u=c(state.u), u0=c(state.u0), p=c(state.p),
+                                V=c(state.V), mu0=c(state.mu0),
+                                mu1=c(state.mu1), nu=state.nu)
+
+        @jax.jit
+        @partial(shard_map, mesh=self.mesh, in_specs=(self._fstate_specs,),
+                 out_specs=(self._specs(1), self._specs(0)), check_vma=False)
+        def to_3d_up(state):
+            return fo.from_flat(state.u, gl), fo.from_flat(state.p, gl)
+
+        @jax.jit
+        @partial(shard_map, mesh=self.mesh, in_specs=(self._level_specs(),),
+                 out_specs=self._fmg_specs, check_vma=False)
+        def flatten_levels(levels):
+            return mgflat._flatten_stack(levels, gl, tuple(self.masks),
+                                         self.n_dist)
+
+        self._to_flat_state = to_flat_state
+        self._to_3d_up = to_3d_up
+        self._flatten_levels = flatten_levels
+        self._fstate = to_flat_state(self.state)
+        self._fmg = flatten_levels(self.levels)
+
+    def _flat_step_fn(self, udf):
+        from ..models import flowflat as ffm
+        from ..ops.dist import DistCtx
+
+        cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
+        axes, sizes = self.axes, self.sizes
+        gl = self._gl
+        nxl = gl.Nx - 2
+        stats_spec = (self._fstate_specs, P(), P(), P())
+
+        @jax.jit
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(self._fstate_specs, self._fmg_specs, P(), P()),
+                 out_specs=stats_spec, check_vma=False)
+        def step(state, fmg, dt, t0):
+            fctx = DistCtx((axes[0],), (sizes[0],), (nxl,),
+                           (jax.lax.axis_index(axes[0]),))
+            ctx3 = make_ctx(axes, sizes, (nxl + 2,) + cfg.shape[1:])
+            return ffm.mom_step_flat_impl(cfg, state, fmg, masks, gl, dt, t0,
+                                          udf, fctx, ctx3, n_dist)
 
         return step
 
@@ -250,10 +363,16 @@ class DistSimulation:
     @property
     def u(self) -> np.ndarray:
         """Velocity in the dense single-device layout."""
+        if self._flat_mode:
+            u3, _ = self._to_3d_up(self._fstate)
+            return from_blocked(u3, self.sizes, lead=1)
         return from_blocked(self.state.u, self.sizes, lead=1)
 
     @property
     def p(self) -> np.ndarray:
+        if self._flat_mode:
+            _, p3 = self._to_3d_up(self._fstate)
+            return from_blocked(p3, self.sizes, lead=0)
         return from_blocked(self.state.p, self.sizes, lead=0)
 
     def measure(self, t: Optional[float] = None):
@@ -267,18 +386,29 @@ class DistSimulation:
                                             jnp.asarray(t, self.cfg.dtype))
         self.state = dataclasses.replace(self.state, V=V, mu0=mu0, mu1=mu1)
         self.levels = levels
+        if self._flat_mode:
+            fs = self._to_flat_state(self.state)
+            self._fstate = dataclasses.replace(self._fstate, V=fs.V,
+                                               mu0=fs.mu0, mu1=fs.mu1)
+            self._fmg = self._flatten_levels(levels)
 
     def step_once(self, remeasure: bool = True, udf=None):
         if remeasure:
             self.measure()
-        key = id(udf)
+        key = (id(udf), self._flat_mode)
         cache = getattr(self, "_step_cache", None)
         if cache is None or cache[0] != key:
-            self._step_cache = (key, self._step_fn(udf))
+            fn = self._flat_step_fn(udf) if self._flat_mode else self._step_fn(udf)
+            self._step_cache = (key, fn)
         step = self._step_cache[1]
         dt = jnp.asarray(self.sim.flow.dt[-1], self.cfg.dtype)
         t0 = jnp.asarray(self.time, self.cfg.dtype)
-        self.state, dt_next, iters, stats = step(self.state, self.levels, dt, t0)
+        if self._flat_mode:
+            self._fstate, dt_next, iters, stats = step(self._fstate,
+                                                       self._fmg, dt, t0)
+        else:
+            self.state, dt_next, iters, stats = step(self.state, self.levels,
+                                                     dt, t0)
         self.sim.flow.dt.append(float(dt_next))
         self.sim.flow.pois_n += [int(iters[0]), int(iters[1])]
         self.solver_stats = stats

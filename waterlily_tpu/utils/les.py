@@ -53,7 +53,8 @@ def sgs(nu_t_fn: Callable = None):
                 f = f.at[i].add(flux - shift(flux, j, 1))
         return f
 
-    def udf_flat(f, state, u_adv, t, g):
+    def udf_flat(f, state, u_adv, t, g, ctx=None):
+        from ..ops.dist import edge_hi, edge_lo, fetch_hi, sharded
         from ..ops.flat import shift_flat, yz_planes
 
         def dudx(i, j):
@@ -70,11 +71,24 @@ def sgs(nu_t_fn: Callable = None):
         yv, zv, _ = yz_planes(g, f.dtype)
         gx = jax.lax.broadcasted_iota(jnp.int32, f.shape[1:], 0)
         planes = ((gx, g.Nx), (yv, g.Ny), (zv, g.Nz))
+        dist_x = ctx is not None and sharded(ctx, 0)
         for i in range(3):
             for j in range(3):
                 flux = -nu_t * (u_adv[i] - shift_flat(u_adv[i], g, j, -1))
                 idx, n = planes[j]
-                flux = jnp.where((idx >= 2) & (idx <= n - 2), flux, 0.0)
+                if j == 0 and dist_x:
+                    # inside_u restriction applies at the PHYSICAL x
+                    # boundaries only; interior shard edges keep the flux,
+                    # and the ghost-row flux comes from the right neighbor
+                    keep = (idx <= n - 2) & jnp.where(edge_lo(ctx, 0),
+                                                      idx >= 2, idx >= 1)
+                    flux = jnp.where(keep, flux, 0.0)
+                    ax = flux.ndim - 3
+                    ghost = jnp.where(edge_hi(ctx, 0), 0.0,
+                                      fetch_hi(ctx, flux, ax, 0, 1))
+                    flux = jnp.where(idx == n - 1, ghost, flux)
+                else:
+                    flux = jnp.where((idx >= 2) & (idx <= n - 2), flux, 0.0)
                 f = f.at[i].add(flux - shift_flat(flux, g, j, 1))
         return f
 
