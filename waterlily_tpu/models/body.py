@@ -39,6 +39,9 @@ class Body:
     ``(d, 0, 0)`` when ``d² > fastd2``."""
 
     def measure_at(self, x, t, fastd2=INF):  # pragma: no cover - interface
+        """Signed distance, outward normal and velocity at point ``x``
+        (`measure`, `Body.jl:13`); implementations may skip the normal and
+        velocity where ``d² > fastd2``."""
         raise NotImplementedError
 
     def sdf_at(self, x, t):
@@ -48,12 +51,16 @@ class Body:
 
     # CSG operators (`SetBody` lazy constructors, `Body.jl:91-108`)
     def __add__(self, other):
+        """CSG union — minimum distance (`∪`/`+`, `Body.jl:91-108`).
+        Also available as ``a | b`` and ``a.union(b)``."""
         return SetBody("min", self, other)
 
     __or__ = __add__
     union = __add__
 
     def __and__(self, other):
+        """CSG intersection — maximum distance (`∩`/`&`, `Body.jl:91-108`).
+        Also available as ``a.intersect(b)``."""
         return SetBody("max", self, other)
 
     intersect = __and__

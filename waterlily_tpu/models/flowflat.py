@@ -41,6 +41,7 @@ def flat_supported(cfg: FlowCfg, g=None, udf=None, solve_fn=None) -> bool:
 
 
 def state_to_flat(state: FlowState, g: FlatGeom) -> FlowState:
+    """Convert every field of a FlowState to the (x, y·z) flat layout."""
     return FlowState(u=to_flat(state.u, g), u0=to_flat(state.u0, g),
                      p=to_flat(state.p, g), V=to_flat(state.V, g),
                      mu0=to_flat(state.mu0, g), mu1=to_flat(state.mu1, g),
@@ -48,6 +49,7 @@ def state_to_flat(state: FlowState, g: FlatGeom) -> FlowState:
 
 
 def state_from_flat(state: FlowState, g: FlatGeom) -> FlowState:
+    """Convert a flat-layout FlowState back to dense (Nx, Ny, Nz) fields."""
     return FlowState(u=from_flat(state.u, g), u0=from_flat(state.u0, g),
                      p=from_flat(state.p, g), V=from_flat(state.V, g),
                      mu0=from_flat(state.mu0, g), mu1=from_flat(state.mu1, g),
@@ -273,4 +275,6 @@ def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
 @partial(jax.jit, static_argnames=("cfg", "masks", "g", "udf"))
 def mom_step_flat(cfg: FlowCfg, state: FlowState, fmg, masks, g: FlatGeom,
                   dt, t0, udf=None):
+    """Jitted single-device entry of `mom_step_flat_impl` (one XLA program
+    per time step; solver stacks travel as arguments, not constants)."""
     return mom_step_flat_impl(cfg, state, fmg, masks, g, dt, t0, udf)

@@ -67,9 +67,14 @@ class RigidMap:
         return self.R @ (x - self.x0 - self.xp) + self.xp
 
     def map_jacobian(self, x, t):
+        """∂map/∂x — the rotation matrix (explicit form of the reference's
+        ForwardDiff jacobian of the call, `RigidMap.jl:39`)."""
         return self.R
 
     def map_velocity(self, x, t):
+        """∂map/∂t = −R̂(V + ω×(x−x₀−xₚ)) — the reference injects this
+        through a Dual-number overload (`RigidMap.jl:40-42`); here it is an
+        explicit method consumed by `AutoBody.measure_at`."""
         r = x - self.x0 - self.xp
         if self.theta.ndim == 0:
             w = cross2(self.omega, r)

@@ -57,6 +57,7 @@ def edge_lo(ctx: DistCtx, d: int):
 
 
 def edge_hi(ctx: DistCtx, d: int):
+    """True on shards owning the high physical boundary of dim d."""
     if not sharded(ctx, d):
         return True
     return ctx.coords[d] == ctx.sizes[d] - 1
@@ -102,6 +103,8 @@ def fetch_lo(ctx: DistCtx, a: jax.Array, axis: int, d: int, idx: int) -> jax.Arr
 
 
 def fetch_hi(ctx: DistCtx, a: jax.Array, axis: int, d: int, idx: int) -> jax.Array:
+    """Slab ``idx`` of the RIGHT (higher-coordinate) ring neighbor along
+    spatial dim ``d`` — mirror of `fetch_lo`."""
     s = slab(a, axis, idx)
     if not sharded(ctx, d):
         return s
@@ -160,6 +163,8 @@ def _axis_names(ctx: DistCtx):
 
 
 def psum_all(x, ctx: Optional[DistCtx]):
+    """Sum across every sharded mesh axis (identity when ctx is None) — the
+    global-reduction point of norms, means and forces under decomposition."""
     if ctx is None:
         return x
     names = _axis_names(ctx)
@@ -167,6 +172,8 @@ def psum_all(x, ctx: Optional[DistCtx]):
 
 
 def pmax_all(x, ctx: Optional[DistCtx]):
+    """Max across every sharded mesh axis (identity when ctx is None) — used
+    by the CFL limit and the L∞ residual norm."""
     if ctx is None:
         return x
     names = _axis_names(ctx)

@@ -59,6 +59,9 @@ class FlatGeom(NamedTuple):
 
 
 def geom_of(shape3: tuple[int, int, int]) -> FlatGeom:
+    """FlatGeom of a padded 3D shape: the y·z plane of M = Ny·Nz cells is
+    flattened row-major onto (S, 128) with S the smallest sublane multiple of
+    8 that fits — ≤1.6% pad, perfect (8, 128) XLA tiling."""
     M = shape3[1] * shape3[2]
     S = -(-M // 1024) * 8
     return FlatGeom(tuple(shape3), S)
@@ -445,6 +448,8 @@ def _global_n(g: FlatGeom, ctx) -> int:
 
 
 def norms_flat(r: jax.Array, ctx=None):
+    """(L₁, L∞) of a residual whose ghosts/dead tail are zero (`L₁`/`L∞`,
+    `Poisson.jl:188-191`), globally reduced under decomposition."""
     from .dist import pmax_all, psum_all
 
     a = jnp.abs(r)
@@ -452,6 +457,8 @@ def norms_flat(r: jax.Array, ctx=None):
 
 
 def interior_mean_flat(x: jax.Array, g: FlatGeom, ctx=None):
+    """Mean over global interior cells (the null-space subtraction point of
+    `residual!`, `Poisson.jl:92-98`)."""
     from .dist import psum_all
 
     return psum_all(jnp.sum(zero_ghost_flat(x, g)), ctx) / _global_n(g, ctx)

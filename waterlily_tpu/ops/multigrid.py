@@ -41,10 +41,14 @@ def divisible(n: int) -> bool:
 
 
 def coarsen_mask(shape: tuple[int, ...]) -> tuple[bool, ...]:
+    """Per-direction semi-coarsening decision for a padded shape
+    (`coarsen_mask`, `MultiLevelPoisson.jl:29-31`)."""
     return tuple(divisible(n) for n in shape)
 
 
 def coarse_shape(shape: tuple[int, ...], c: tuple[bool, ...]) -> tuple[int, ...]:
+    """Padded shape one level down: halve interior extent where ``c`` holds
+    (`MultiLevelPoisson.jl:52-54`)."""
     return tuple(1 + n // 2 if ci else n for n, ci in zip(shape, c))
 
 

@@ -64,6 +64,8 @@ def set_diag(L: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def make_level(L: jax.Array) -> PoissonLevel:
+    """PoissonLevel from face coefficients: derive the operator diagonal and
+    its guarded inverse (`Poisson` constructor, `Poisson.jl:43-55`)."""
     d, iD = set_diag(L)
     return PoissonLevel(L, d, iD)
 

@@ -376,6 +376,9 @@ class DistSimulation:
         return from_blocked(self.state.p, self.sizes, lead=0)
 
     def measure(self, t: Optional[float] = None):
+        """Re-measure the body on every shard and re-restrict the multigrid
+        coefficients (`measure!` + `update!`, `WaterLily.jl:146-149`) —
+        each shard evaluates the sdf only on its own block."""
         if isinstance(self.sim.body, NoBody):
             return
         if t is None:
@@ -393,6 +396,9 @@ class DistSimulation:
             self._fmg = self._flatten_levels(levels)
 
     def step_once(self, remeasure: bool = True, udf=None):
+        """One CFL-limited time step of the decomposed flow (the distributed
+        `mom_step!`); appends dt / solver iterations to the host history like
+        the single-device `Simulation.sim_step`."""
         if remeasure:
             self.measure()
         key = (id(udf), self._flat_mode)
@@ -416,6 +422,8 @@ class DistSimulation:
 
     def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
                  max_steps: int = 10**9, verbose: bool = False, udf=None):
+        """Advance to ``t_end`` in convective units (`sim_step!`,
+        `WaterLily.jl:128-139`), or one step when ``t_end`` is None."""
         if t_end is None:
             return self.step_once(remeasure, udf)
         steps = 0

@@ -279,6 +279,7 @@ class Simulation:
         return self
 
     def sim_info(self):
+        """One-line status print (`sim_info`, `WaterLily.jl:155`)."""
         print(f"tU/L={self.sim_time:.4f}, dt={self.flow.dt[-1]:.3f}")
 
     # ------------------------------------------------------------- utilities

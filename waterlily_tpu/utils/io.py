@@ -146,6 +146,9 @@ class VTKWriter:
         self.count = 0
 
     def write(self, sim):
+        """Append one timestep: evaluate every attrib closure on the sim and
+        write a ``.vti`` + refresh the ``.pvd`` collection (`vtkWriter`,
+        `WriteVTKExt.jl:21-73`)."""
         fields = {k: f(sim) for k, f in self.attrib.items()}
         sp = np.asarray(sim.flow.state.p).shape
         path = os.path.join(self.dir, f"{self.fname}_{self.count:06d}.vti")
@@ -163,6 +166,8 @@ class VTKWriter:
         ET.ElementTree(root).write(self.fname + ".pvd", xml_declaration=True)
 
     def close(self):
+        """Finalize the ``.pvd`` collection file (`close`,
+        `WriteVTKExt.jl:73`)."""
         self._write_pvd()
 
 
@@ -207,6 +212,8 @@ def save(fname: str, sim, **kw):
 
 
 def load(fname: str, sim, **kw):
+    """Checkpoint restore dispatched on file extension — ``.npz`` state or
+    ``.pvd`` VTK-collection restart (`load!`, `WaterLily.jl:166-174`)."""
     if fname.endswith(".npz"):
         return load_state(fname, sim, **kw)
     if fname.endswith(".pvd"):

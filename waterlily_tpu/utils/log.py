@@ -27,6 +27,8 @@ class SolverLogger:
             f.write(HEADER)
 
     def log_step(self, sim):
+        """Append the predictor/corrector residual rows of the last step in
+        the reference's `WaterLily.log` format (`@log`, `core.jl:4-24`)."""
         if sim.solver_stats is None:
             return
         stats = np.asarray(sim.solver_stats)     # (2, itmx+1, 3 or 2)

@@ -215,6 +215,8 @@ def viscous_moment(x0, u: jax.Array, nu, body: Body, t=0.0) -> jax.Array:
 
 
 def total_moment(x0, sim) -> jax.Array:
+    """Pressure + viscous moment about ``x0`` (`total_moment`,
+    `Metrics.jl:195-197`)."""
     return (pressure_moment(x0, sim.flow.state.p, sim.body, sim.time)
             + viscous_moment(x0, sim.flow.state.u, sim.flow.state.nu, sim.body,
                              sim.time))
@@ -246,6 +248,8 @@ class MeanFlow:
         return self.t[-1] - self.t[0]
 
     def reset(self, t_init: float = 0.0):
+        """Zero the running averages and restart the window (`reset!`,
+        `Metrics.jl:234-241`)."""
         self.P = jnp.zeros_like(self.P)
         self.U = jnp.zeros_like(self.U)
         if self.UU is not None:
