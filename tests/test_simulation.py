@@ -194,3 +194,33 @@ def test_circle_drag_parity_with_reference():
         t += 0.5
     mean_cd = float(np.mean(cds))
     assert abs(mean_cd - (-1.434)) < 0.08, mean_cd
+
+
+# ------------------------------------------------------- on-device scan loop
+def test_sim_step_n_matches_host_loop():
+    """`sim_step_n` (one lax.scan program) must reproduce the host loop
+    exactly: same fields, same dt history, same solver iteration counts."""
+    F64 = jnp.float64
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64)
+    a, b = mk(), mk()
+    for _ in range(3):
+        a.sim_step(remeasure=False)
+    b.sim_step_n(3)
+    assert np.allclose(np.array(a.flow.u), np.array(b.flow.u), atol=1e-13)
+    assert np.allclose(a.flow.dt, b.flow.dt, atol=1e-13)
+    assert a.flow.pois_n == b.flow.pois_n
+
+
+def test_sim_step_n_2d_generic_engine():
+    sim = Simulation((32, 24), (1.0, 0.0), RADIUS, nu=0.08,
+                     body=AutoBody(circle), dtype=F32)
+    ref = Simulation((32, 24), (1.0, 0.0), RADIUS, nu=0.08,
+                     body=AutoBody(circle), dtype=F32)
+    for _ in range(2):
+        ref.sim_step(remeasure=False)
+    sim.sim_step_n(2)
+    assert np.allclose(np.array(ref.flow.u), np.array(sim.flow.u), atol=1e-6)
+    assert sim.sim_time == pytest.approx(ref.sim_time)

@@ -264,6 +264,67 @@ class Simulation:
             self._flat["state"], u=to_flat(st.u, gm), u0=to_flat(st.u0, gm),
             p=to_flat(st.p, gm))
 
+    def sim_step_n(self, n: int, *, udf=None):
+        """``n`` CFL-limited steps in ONE device program (`lax.scan` over the
+        momentum step) — the TPU-idiomatic driver for static bodies: the
+        whole loop is a single XLA dispatch, so per-step host round trips
+        (which dominate small grids on tunneled backends) vanish and the
+        compiler pipelines across step boundaries.  The CFL dt rides the scan
+        carry on device; the full Δt / solver-iteration history is appended
+        to the host lists afterwards, so `sim_time`, `pois_n` and logging
+        behave exactly as after ``n`` calls of `step_once`.
+
+        Moving bodies need the host re-measure between steps — use
+        `sim_step(..., remeasure=True)` for those.  (The reference has no
+        analog; its host loop at `WaterLily.jl:128-139` dispatches every
+        kernel individually.)"""
+        cfg = self.flow.cfg
+        key = ("scan", n, id(udf), self._flat is not None)
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None or cache[0] != key:
+            if self._flat is not None:
+                from .models import flowflat as ff
+
+                gm, masks = self._flat["g"], self.masks
+
+                def one(carry, _, solver):
+                    state, dt, t0 = carry
+                    state, dt_n, iters, stats = ff.mom_step_flat_impl(
+                        cfg, state, solver, masks, gm, dt, t0, udf)
+                    return (state, dt_n, t0 + dt), (dt_n, iters)
+            else:
+                masks, solve_fn = self.masks, self.solve_fn
+
+                def one(carry, _, solver):
+                    state, dt, t0 = carry
+                    state, dt_n, iters, stats = fl.mom_step_impl(
+                        cfg, state, solver, masks, dt, t0, udf, solve_fn)
+                    return (state, dt_n, t0 + dt), (dt_n, iters)
+
+            @jax.jit
+            def run(state, solver, dt, t0):
+                return jax.lax.scan(partial(one, solver=solver),
+                                    (state, dt, t0), None, length=n)
+
+            self._scan_cache = (key, run)
+        run = self._scan_cache[1]
+        dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
+        t0 = jnp.asarray(self.time, cfg.dtype)
+        if self._flat is not None:
+            solver = self._flat["fmg"]
+            (state, dt_n, _), (dts, iters) = run(self._flat["state"], solver,
+                                                 dt, t0)
+            self._flat["state"] = state
+            self._flat_fresh = True
+        else:
+            (state, dt_n, _), (dts, iters) = run(self.flow.state, self.levels,
+                                                 dt, t0)
+            self.flow.state = state
+            self._sync_flat()
+        self.flow.dt.extend(float(v) for v in dts)
+        self.flow.pois_n.extend(int(v) for v in iters.reshape(-1))
+        return self
+
     def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
                  max_steps: int = 10**9, verbose: bool = False, udf=None):
         """Advance to dimensionless time ``t_end`` (one step if omitted)
