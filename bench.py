@@ -34,6 +34,9 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp_cache"))
+if os.environ.get("WLTPU_PLATFORM"):    # env JAX_PLATFORMS is overridden by
+    jax.config.update("jax_platforms",  # the TPU plugin in this environment
+                      os.environ["WLTPU_PLATFORM"])
 
 _BEST = None           # most recent (= largest-N) completed measurement
 _LOCK = threading.Lock()
@@ -101,6 +104,42 @@ def _measure(N: int, steps: int, engine: str):
                                                dt, t0)
             return st, dt_n, it
 
+    import math
+
+    if os.environ.get("WLTPU_BENCH_SCAN", "1") == "1":
+        # scan mode: the whole measurement is ONE lax.scan program (the
+        # `sim_step_n` driver shape) — per-step dispatch round trips vanish
+        # and the warmup run doubles as the compile
+        @jax.jit
+        def run(state, solver, dt, t0):
+            def one(carry, _):
+                state, dt, t0 = carry
+                state, dt_n, it = step(state, solver, dt, t0)
+                return (state, dt_n, t0 + dt), (dt_n, it)
+
+            return jax.lax.scan(one, (state, dt, t0), None, length=steps)
+
+        (state, dt, t0), (dts, iters) = run(state, solver, dt, t0)  # warmup
+        p0 = float(probe(state))
+        if not math.isfinite(p0) or not math.isfinite(float(dt)):
+            raise RuntimeError(f"{N}^3 simulation diverged during warmup "
+                               f"(probe={p0}, dt={float(dt)})")
+        t_base = time.perf_counter()
+        float(probe(state))
+        t_base = time.perf_counter() - t_base
+
+        t_start = time.perf_counter()
+        (state, dt, t0), (dts, iters) = run(state, solver, dt, t0)
+        pend = float(probe(state))
+        elapsed = max(1e-9, time.perf_counter() - t_start - t_base)
+        if not math.isfinite(pend) or not math.isfinite(float(dt)):
+            raise RuntimeError(f"{N}^3 simulation diverged during measurement")
+        it = [int(v) for v in iters[-1]]
+        print(f"# {N}^3 final dt={float(dt):.3f} pois_iters={it} (scan mode)",
+              file=sys.stderr, flush=True)
+        return N ** 3 * steps / elapsed
+
+    # dispatch-per-step mode (WLTPU_BENCH_SCAN=0)
     # warmup: compile + 2 steps (lets dt settle to the CFL limit)
     step = jax.jit(step)
     iters = None
@@ -111,8 +150,6 @@ def _measure(N: int, steps: int, engine: str):
     p0 = float(probe(state))
     # a benchmark of a diverging simulation is meaningless — fail loudly
     # (round 1 silently timed NaN fields at 32 MG iterations per solve)
-    import math
-
     if not math.isfinite(p0) or not math.isfinite(float(dt)):
         raise RuntimeError(f"{N}^3 simulation diverged during warmup "
                            f"(probe={p0}, dt={float(dt)})")

@@ -181,3 +181,21 @@ def test_flat_dist_les_udf():
     assert_match(run_ref(mk, n=2, remeasure=False, udf=sgs()),
                  run_dist_flat(mk, 4, n=2, remeasure=False, udf=sgs()),
                  atol=1e-11)
+
+
+def test_dist_sim_step_n_matches_step_loop():
+    """The scanned dist driver (one program for n steps) must match n
+    `step_once` calls on both engines."""
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64)
+    for engine in ("3d", "flat"):
+        a = DistSimulation(mk(), make_mesh((4,)), engine=engine)
+        b = DistSimulation(mk(), make_mesh((4,)), engine=engine)
+        for _ in range(2):
+            a.step_once(remeasure=False)
+        b.sim_step_n(2)
+        assert np.allclose(a.u, b.u, atol=1e-13), engine
+        assert a.sim.flow.dt == pytest.approx(b.sim.flow.dt), engine
+        assert a.sim.flow.pois_n == b.sim.flow.pois_n, engine

@@ -420,6 +420,39 @@ class DistSimulation:
         self.solver_stats = stats
         return self
 
+    def sim_step_n(self, n: int, *, udf=None):
+        """``n`` CFL steps of the decomposed flow in ONE device program
+        (`lax.scan` around the shard_map step) — see
+        `Simulation.sim_step_n`; static bodies only."""
+        key = ("scan", n, id(udf), self._flat_mode)
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None or cache[0] != key:
+            inner = (self._flat_step_fn(udf) if self._flat_mode
+                     else self._step_fn(udf))
+
+            @jax.jit
+            def run(state, solver, dt, t0):
+                def one(carry, _):
+                    state, dt, t0 = carry
+                    state, dt_n, iters, stats = inner(state, solver, dt, t0)
+                    return (state, dt_n, t0 + dt), (dt_n, iters, stats)
+
+                return jax.lax.scan(one, (state, dt, t0), None, length=n)
+
+            self._scan_cache = (key, run)
+        run = self._scan_cache[1]
+        dt = jnp.asarray(self.sim.flow.dt[-1], self.cfg.dtype)
+        t0 = jnp.asarray(self.time, self.cfg.dtype)
+        if self._flat_mode:
+            (self._fstate, _, _), ys = run(self._fstate, self._fmg, dt, t0)
+        else:
+            (self.state, _, _), ys = run(self.state, self.levels, dt, t0)
+        dts, iters, stats = ys
+        self.sim.flow.dt.extend(float(v) for v in dts)
+        self.sim.flow.pois_n.extend(int(v) for v in iters.reshape(-1))
+        self.solver_stats = stats[-1]
+        return self
+
     def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
                  max_steps: int = 10**9, verbose: bool = False, udf=None):
         """Advance to ``t_end`` in convective units (`sim_step!`,

@@ -291,7 +291,7 @@ class Simulation:
                     state, dt, t0 = carry
                     state, dt_n, iters, stats = ff.mom_step_flat_impl(
                         cfg, state, solver, masks, gm, dt, t0, udf)
-                    return (state, dt_n, t0 + dt), (dt_n, iters)
+                    return (state, dt_n, t0 + dt), (dt_n, iters, stats)
             else:
                 masks, solve_fn = self.masks, self.solve_fn
 
@@ -299,7 +299,7 @@ class Simulation:
                     state, dt, t0 = carry
                     state, dt_n, iters, stats = fl.mom_step_impl(
                         cfg, state, solver, masks, dt, t0, udf, solve_fn)
-                    return (state, dt_n, t0 + dt), (dt_n, iters)
+                    return (state, dt_n, t0 + dt), (dt_n, iters, stats)
 
             @jax.jit
             def run(state, solver, dt, t0):
@@ -312,17 +312,18 @@ class Simulation:
         t0 = jnp.asarray(self.time, cfg.dtype)
         if self._flat is not None:
             solver = self._flat["fmg"]
-            (state, dt_n, _), (dts, iters) = run(self._flat["state"], solver,
-                                                 dt, t0)
+            (state, dt_n, _), (dts, iters, stats) = run(self._flat["state"],
+                                                        solver, dt, t0)
             self._flat["state"] = state
             self._flat_fresh = True
         else:
-            (state, dt_n, _), (dts, iters) = run(self.flow.state, self.levels,
-                                                 dt, t0)
+            (state, dt_n, _), (dts, iters, stats) = run(self.flow.state,
+                                                        self.levels, dt, t0)
             self.flow.state = state
             self._sync_flat()
         self.flow.dt.extend(float(v) for v in dts)
         self.flow.pois_n.extend(int(v) for v in iters.reshape(-1))
+        self.solver_stats = stats[-1]
         return self
 
     def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
