@@ -92,6 +92,12 @@ class FlowCfg:
     tol: float = 2e-3               # pressure solver tolerance
     itmx: int = 32                  # pressure solver max iterations
     smooth_it: int = 4              # MG smoother sweeps (`it`, `Poisson.jl:135`)
+    fine_smooth_it: int = 0         # fine-level post-V-cycle sweeps override
+                                    # (0 → smooth_it); the fine sweep is the
+                                    # costliest kernel of the solve — fewer
+                                    # fine sweeps can win wall-clock when the
+                                    # dual-norm stop still converges in the
+                                    # same iteration count
     mg_unroll: int = 0              # cond-unrolled MG iterations before the
                                     # while_loop tail: 0 (pure while_loop) is
                                     # both fastest and cheapest to compile
@@ -350,7 +356,7 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
         lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg_implicit(
             lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir,
             smooth_it=cfg.smooth_it, unroll=cfg.mg_unroll,
-            ctx=ctx, n_dist=n_dist))
+            ctx=ctx, n_dist=n_dist, fine_smooth_it=cfg.fine_smooth_it))
     res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)
     x = res.x
     L = levels[0].L
@@ -439,13 +445,16 @@ class Flow:
                  exit_bc: bool = False, scheme: Callable = quick,
                  dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
                  smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
-                 fused_pc: Optional[bool] = None):
+                 fused_pc: Optional[bool] = None,
+                 fine_smooth_it: Optional[int] = None):
         D = len(N)
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
                            scheme=scheme, dtype=dtype, tol=tol, itmx=itmx,
                            smooth_it=_env_int("WLTPU_SMOOTH_IT", smooth_it, 4),
+                           fine_smooth_it=_env_int("WLTPU_FINE_SMOOTH_IT",
+                                                   fine_smooth_it, 0),
                            mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 0),
                            fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)))
         if u0 is None:

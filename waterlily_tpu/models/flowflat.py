@@ -177,7 +177,8 @@ def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0,
     res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
                                itmx=cfg.itmx, smooth_it=cfg.smooth_it,
                                unroll=cfg.mg_unroll, perdir=cfg.perdir,
-                               ctx=ctx, ctx3=ctx3, n_dist=n_dist)
+                               ctx=ctx, ctx3=ctx3, n_dist=n_dist,
+                               fine_smooth_it=cfg.fine_smooth_it)
     u = proj_correct_flat(u, res.x, fmg.fine.L, g)
     p = res.x / dt_w
     u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,

@@ -166,7 +166,7 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   itmx: int = 32, smooth_it: int = 4,
                   unroll: int = 8,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
-                  n_dist: int = 0) -> mg.MGSolveResult:
+                  n_dist: int = 0, fine_smooth_it: int = 0) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
@@ -193,7 +193,8 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
         x, r, r1, rinf, omega, n, stats = c
         x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
                              perdir=perdir, ctx=ctx, ctx3=ctx3, n_dist=n_dist)
-        x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g, it=smooth_it,
+        x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g,
+                                    it=fine_smooth_it or smooth_it,
                                     omega=omega, perdir=perdir, ctx=ctx)
         rnew, rinf = norms_flat(r, ctx)
         omega = jnp.where(rnew >= r1,

@@ -248,7 +248,7 @@ class MGSolveResult(NamedTuple):
 def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
              itmx: int = 32, perdir: tuple[int, ...] = (),
              smooth_it: int = 4, unroll: int = 8, ctx=None,
-             n_dist: int = 0) -> MGSolveResult:
+             n_dist: int = 0, fine_smooth_it: int = 0) -> MGSolveResult:
     """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
     V-cycle + fine smooth per iteration, adaptive relaxation
     ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
@@ -277,8 +277,8 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
         x, r, r1, rinf, omega, n, stats = c
         x, r = v_cycle(levels, masks, x, r, omega, perdir, 0, smooth_it,
                        ctx, n_dist)
-        x, r = gauss_seidel_rb(p, x, r, it=smooth_it, omega=omega,
-                               perdir=perdir, ctx=fine_ctx)
+        x, r = gauss_seidel_rb(p, x, r, it=fine_smooth_it or smooth_it,
+                               omega=omega, perdir=perdir, ctx=fine_ctx)
         rnew, rinf = norms(r, fine_ctx)
         omega = jnp.where(rnew >= r1,
                           jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),
@@ -330,7 +330,8 @@ def canonical_gauge(x: jax.Array, iD: jax.Array, ctx=None) -> jax.Array:
 def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
                       tol: float = 2e-3, itmx: int = 32,
                       perdir: tuple[int, ...] = (), smooth_it: int = 4,
-                      unroll: int = 8, ctx=None, n_dist: int = 0) -> MGSolveResult:
+                      unroll: int = 8, ctx=None, n_dist: int = 0,
+                      fine_smooth_it: int = 0) -> MGSolveResult:
     """`solve_mg` with implicit forward-mode differentiation.
 
     Differentiating *through* the iterative solver gives lagged tangents: the
@@ -356,7 +357,7 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
     def _solve(levels, x, z):
         return solve_mg(levels, masks, x, z, tol=tol, itmx=itmx,
                         perdir=perdir, smooth_it=smooth_it, unroll=unroll,
-                        ctx=ctx, n_dist=n_dist)
+                        ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it)
 
     @_solve.defjvp
     def _solve_jvp(primals, tangents):
@@ -370,7 +371,7 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
         rhs = dz - dA_x
         dres = solve_mg(levels, masks, dx0, rhs, tol=tol, itmx=itmx,
                         perdir=perdir, smooth_it=smooth_it, unroll=unroll,
-                        ctx=ctx, n_dist=n_dist)
+                        ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it)
         f0 = np.zeros(res.iters.shape, jax.dtypes.float0)
         dout = MGSolveResult(dres.x, dres.r, f0, jnp.zeros_like(res.stats))
         return res, dout

@@ -106,6 +106,7 @@ class Simulation:
                  dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
                  smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
                  fused_pc: Optional[bool] = None,
+                 fine_smooth_it: Optional[int] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
         if U is None:
@@ -119,7 +120,8 @@ class Simulation:
         check_fn(u0, D, dtype, 2, "u0")
         ctor = flow_ctor or fl.Flow
         tuning = {} if flow_ctor is not None else dict(
-            smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc)
+            smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc,
+            fine_smooth_it=fine_smooth_it)
         self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
                          perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
                          dtype=dtype, tol=tol, itmx=itmx, **tuning)
