@@ -91,3 +91,38 @@ def test_solver_logger(tmp_path):
     for c, a in zip(counts, rinf):
         if c > 0:
             assert a[-1] < 2e-3
+
+
+def test_orbax_roundtrip(tmp_path):
+    from waterlily_tpu.utils.io import load_orbax, save_orbax
+
+    sim = make_sim(2)
+    sim.sim_step(0.2, remeasure=False)
+    mf = MeanFlow(flow=sim.flow, uu_stats=True)
+    mf.update(sim.flow)
+    f = str(tmp_path / "state.ckpt")
+    save_orbax(f, sim, meanflow=mf)
+
+    sim2 = make_sim(2)
+    mf2 = MeanFlow(flow=sim2.flow, uu_stats=True)
+    load(f, sim2, meanflow=mf2)          # extension dispatch
+    assert np.allclose(np.array(sim2.flow.u), np.array(sim.flow.u))
+    assert np.allclose(np.array(sim2.flow.p), np.array(sim.flow.p))
+    assert sim2.flow.dt == sim.flow.dt
+    assert np.allclose(np.array(mf2.UU), np.array(mf.UU))
+    sim2.sim_step(remeasure=False)
+    assert np.all(np.isfinite(np.array(sim2.flow.u)))
+
+
+def test_orbax_async(tmp_path):
+    from waterlily_tpu.utils.io import load_orbax, save_orbax
+
+    sim = make_sim(2)
+    sim.sim_step(remeasure=False)
+    f = str(tmp_path / "async.ckpt")
+    ck = save_orbax(f, sim, async_=True)
+    sim.sim_step(remeasure=False)        # stepping overlaps the write
+    ck.wait_until_finished()
+    sim2 = make_sim(2)
+    load_orbax(f, sim2)
+    assert len(sim2.flow.dt) == len(sim.flow.dt) - 1

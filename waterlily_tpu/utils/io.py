@@ -26,7 +26,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_state", "load_state", "VTKWriter", "load_vtk", "save", "load"]
+__all__ = ["save_state", "load_state", "save_orbax", "load_orbax",
+           "VTKWriter", "load_vtk", "save", "load"]
 
 
 # ------------------------------------------------------------- npz checkpoint
@@ -66,6 +67,57 @@ def load_state(fname: str, sim, meanflow=None):
             if "mf_UU" in d:
                 meanflow.UU = jnp.asarray(d["mf_UU"])
             meanflow.t = [float(x) for x in d["mf_t"]]
+    return sim
+
+
+# ------------------------------------------------------------- orbax
+def save_orbax(path: str, sim, meanflow=None, async_: bool = False):
+    """Checkpoint via orbax — the TPU-production backend: device arrays are
+    serialized without a host gather round trip through numpy, sharded
+    arrays (from `DistSimulation` states) keep their sharding metadata, and
+    ``async_=True`` overlaps the write with further stepping.  Payload
+    philosophy matches `save_state`: ``(p, u, dt)`` (+ MeanFlow), body
+    re-measured on load (`WaterLilyJLD2Ext.jl` analog, SURVEY §5.4).
+    Returns the checkpointer (call ``.wait_until_finished()`` on async)."""
+    import orbax.checkpoint as ocp
+
+    payload = {"p": sim.flow.state.p, "u": sim.flow.state.u,
+               "dt": np.asarray(sim.flow.dt, np.float64)}
+    if meanflow is not None:
+        payload["mf_P"] = meanflow.P
+        payload["mf_U"] = meanflow.U
+        if meanflow.UU is not None:
+            payload["mf_UU"] = meanflow.UU
+        payload["mf_t"] = np.asarray(meanflow.t, np.float64)
+    if async_:
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    else:
+        ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    return ckptr
+
+
+def load_orbax(path: str, sim, meanflow=None):
+    """Restore an orbax checkpoint written by `save_orbax` (size-checked)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    d = ckptr.restore(os.path.abspath(path))
+    p, u = d["p"], d["u"]
+    if p.shape != sim.flow.state.p.shape or u.shape != sim.flow.state.u.shape:
+        raise ValueError(f"checkpoint shapes {p.shape}/{u.shape} != sim "
+                         f"{sim.flow.state.p.shape}/{sim.flow.state.u.shape}")
+    dtype = sim.flow.cfg.dtype
+    sim.flow.state = dataclasses.replace(
+        sim.flow.state, p=jnp.asarray(p, dtype), u=jnp.asarray(u, dtype),
+        u0=jnp.asarray(u, dtype))
+    sim.flow.dt = [float(x) for x in d["dt"]]
+    if meanflow is not None and "mf_P" in d:
+        meanflow.P = jnp.asarray(d["mf_P"])
+        meanflow.U = jnp.asarray(d["mf_U"])
+        if d.get("mf_UU") is not None:
+            meanflow.UU = jnp.asarray(d["mf_UU"])
+        meanflow.t = [float(x) for x in d["mf_t"]]
     return sim
 
 
@@ -205,15 +257,21 @@ def _dt_hist(entries):
 
 # ------------------------------------------------------------- dispatch
 def save(fname: str, sim, **kw):
-    """Extension-dispatched save (`src/WaterLily.jl:166-174`)."""
+    """Extension-dispatched save (`src/WaterLily.jl:166-174`): ``.npz``
+    portable binary or ``.ckpt`` orbax directory."""
     if fname.endswith(".npz"):
         return save_state(fname, sim, **kw)
+    if fname.endswith(".ckpt"):
+        return save_orbax(fname, sim, **kw)
     raise ValueError(f"unsupported checkpoint format: {fname}")
 
 
 def load(fname: str, sim, **kw):
-    """Checkpoint restore dispatched on file extension — ``.npz`` state or
-    ``.pvd`` VTK-collection restart (`load!`, `WaterLily.jl:166-174`)."""
+    """Checkpoint restore dispatched on file extension — ``.npz`` state,
+    ``.ckpt`` orbax directory, or ``.pvd`` VTK-collection restart (`load!`,
+    `WaterLily.jl:166-174`)."""
+    if fname.endswith(".ckpt"):
+        return load_orbax(fname, sim, **kw)
     if fname.endswith(".npz"):
         return load_state(fname, sim, **kw)
     if fname.endswith(".pvd"):
