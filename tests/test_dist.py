@@ -199,3 +199,28 @@ def test_dist_sim_step_n_matches_step_loop():
         assert np.allclose(a.u, b.u, atol=1e-13), engine
         assert a.sim.flow.dt == pytest.approx(b.sim.flow.dt), engine
         assert a.sim.flow.pois_n == b.sim.flow.pois_n, engine
+
+
+def test_dist_total_force_matches_single_device():
+    """Per-shard surface integrals + psum must equal the gathered single-
+    device force/moment on both engines (exercises halo-correct ghosts in
+    the stepped state and global coordinates in nds_field)."""
+    from waterlily_tpu.utils.metrics import total_force, total_moment
+
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64)
+    ref = mk()
+    for _ in range(2):
+        ref.sim_step(remeasure=False)
+    f_ref = np.array(total_force(ref))
+    m_ref = np.array(total_moment((16.0, 8.0, 8.0), ref))
+    for engine in ("3d", "flat"):
+        d = DistSimulation(mk(), make_mesh((4,)), engine=engine)
+        for _ in range(2):
+            d.step_once(remeasure=False)
+        assert np.allclose(np.array(d.total_force()), f_ref,
+                           atol=1e-10), engine
+        assert np.allclose(np.array(d.total_moment((16.0, 8.0, 8.0))), m_ref,
+                           atol=1e-10), engine

@@ -420,6 +420,59 @@ class DistSimulation:
         self.solver_stats = stats
         return self
 
+    # ------------------------------------------------------------ metrics
+    def _force_fn(self):
+        from ..ops import flat as fo
+        from ..ops.dist import offsets
+        from ..utils import metrics as mt
+
+        cfg = self.cfg
+        axes, sizes = self.axes, self.sizes
+        flat = self._flat_mode
+        gl = self._gl if flat else None
+        in_specs = ((self._fstate_specs if flat else self._state_specs()),
+                    P(), P(), P())
+
+        @jax.jit
+        @partial(shard_map, mesh=self.mesh, in_specs=in_specs,
+                 out_specs=(P(), P()), check_vma=False)
+        def force(state, body, t, x0):
+            if flat:
+                u, p = fo.from_flat(state.u, gl), fo.from_flat(state.p, gl)
+            else:
+                u, p = state.u, state.p
+            local_shape = p.shape
+            ctx = make_ctx(axes, sizes, local_shape)
+            off = offsets(ctx, local_shape)
+            f = (mt.pressure_force(p, body, t, off, ctx)
+                 + mt.viscous_force(u, state.nu, body, t, off, ctx))
+            m = (mt.pressure_moment(x0, p, body, t, off, ctx)
+                 + mt.viscous_moment(x0, u, state.nu, body, t, off, ctx))
+            return f, m
+
+        return force
+
+    def _force_moment(self, x0=None):
+        if not hasattr(self, "_force"):
+            self._force = self._force_fn()
+        t = jnp.asarray(self.time, self.cfg.dtype)
+        if x0 is None:
+            x0 = (0.0,) * self.cfg.D
+        st = self._fstate if self._flat_mode else self.state
+        return self._force(st, self.sim.body, t,
+                           jnp.asarray(x0, self.cfg.dtype))
+
+    def total_force(self):
+        """∮(p n − 2ν S·n) dS without gathering the fields: per-shard BDIM
+        surface integrals with global coordinates, psum-reduced
+        (`total_force`, `Metrics.jl:160`)."""
+        return self._force_moment()[0]
+
+    def total_moment(self, x0):
+        """Pressure + viscous moment about ``x0``, per-shard + psum
+        (`total_moment`, `Metrics.jl:195-197`)."""
+        return self._force_moment(x0)[1]
+
     def sim_step_n(self, n: int, *, udf=None):
         """``n`` CFL steps of the decomposed flow in ONE device program
         (`lax.scan` around the shard_map step) — see

@@ -141,11 +141,14 @@ def strain_field(u: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------------------------ forces
-def nds_field(body: Body, shape: tuple[int, ...], t, dtype) -> jax.Array:
+def nds_field(body: Body, shape: tuple[int, ...], t, dtype,
+              offset=None) -> jax.Array:
     """BDIM-masked surface normal n·K(d) at every interior cell center
-    (`nds`, `Metrics.jl:116-119`); ghosts zero.  Shape ``(D, *shape)``."""
+    (`nds`, `Metrics.jl:116-119`); ghosts zero.  Shape ``(D, *shape)``.
+    ``offset`` shifts local shard indices to global coordinates under
+    domain decomposition."""
     D = len(shape)
-    coords = loc_grid(None, shape, dtype)[(slice(None),) + (slice(1, -1),) * D]
+    coords = loc_grid(None, shape, dtype, offset)[(slice(None),) + (slice(1, -1),) * D]
     flat = coords.reshape(D, -1).T
     t = jnp.asarray(t, dtype)
 
@@ -157,21 +160,31 @@ def nds_field(body: Body, shape: tuple[int, ...], t, dtype) -> jax.Array:
     return jnp.stack([grow(vals[i]) for i in range(D)])
 
 
-def pressure_force(p: jax.Array, body: Body, t=0.0) -> jax.Array:
-    """∮ p n dS over the body (`pressure_force`, `Metrics.jl:126-133`)."""
-    nds = nds_field(body, p.shape, t, p.dtype)
+def pressure_force(p: jax.Array, body: Body, t=0.0, offset=None,
+                   ctx=None) -> jax.Array:
+    """∮ p n dS over the body (`pressure_force`, `Metrics.jl:126-133`);
+    psum-reduced across shards when ``ctx`` is given."""
+    from ..ops.dist import psum_all
+
+    nds = nds_field(body, p.shape, t, p.dtype, offset)
     acc = _acc_dtype(p.dtype)
-    return jnp.sum((p[None] * nds).astype(acc), axis=tuple(range(1, p.ndim + 1)))
+    f = jnp.sum((p[None] * nds).astype(acc), axis=tuple(range(1, p.ndim + 1)))
+    return psum_all(f, ctx)
 
 
-def viscous_force(u: jax.Array, nu, body: Body, t=0.0) -> jax.Array:
-    """-∮ 2ν S·n dS (`viscous_force`, `Metrics.jl:147-154`)."""
+def viscous_force(u: jax.Array, nu, body: Body, t=0.0, offset=None,
+                  ctx=None) -> jax.Array:
+    """-∮ 2ν S·n dS (`viscous_force`, `Metrics.jl:147-154`); under
+    decomposition ``u`` ghosts must hold halo values (the stepped state
+    does)."""
+    from ..ops.dist import psum_all
+
     sp = u.shape[1:]
-    nds = nds_field(body, sp, t, u.dtype)
+    nds = nds_field(body, sp, t, u.dtype, offset)
     S = strain_field(u)
     acc = _acc_dtype(u.dtype)
     df = -2.0 * nu * jnp.einsum("ij...,j...->i...", S, nds)
-    return jnp.sum(df.astype(acc), axis=tuple(range(1, u.ndim)))
+    return psum_all(jnp.sum(df.astype(acc), axis=tuple(range(1, u.ndim))), ctx)
 
 
 def total_force(sim) -> jax.Array:
@@ -187,31 +200,38 @@ def _cross_field(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.cross(a, b, axis=0)
 
 
-def _rel_coords(shape, x0, dtype):
+def _rel_coords(shape, x0, dtype, offset=None):
     D = len(shape)
-    x = loc_grid(None, shape, dtype)
+    x = loc_grid(None, shape, dtype, offset)
     return x - jnp.asarray(x0, dtype).reshape((D,) + (1,) * D)
 
 
-def pressure_moment(x0, p: jax.Array, body: Body, t=0.0) -> jax.Array:
+def pressure_moment(x0, p: jax.Array, body: Body, t=0.0, offset=None,
+                    ctx=None) -> jax.Array:
     """∮ p (x-x0)×n dS (`pressure_moment`, `Metrics.jl:166-173`)."""
-    nds = nds_field(body, p.shape, t, p.dtype)
-    rel = _rel_coords(p.shape, x0, p.dtype)
+    from ..ops.dist import psum_all
+
+    nds = nds_field(body, p.shape, t, p.dtype, offset)
+    rel = _rel_coords(p.shape, x0, p.dtype, offset)
     df = p[None] * _cross_field(rel, nds)
     acc = _acc_dtype(p.dtype)
-    return jnp.sum(df.astype(acc), axis=tuple(range(1, p.ndim + 1)))
+    return psum_all(jnp.sum(df.astype(acc), axis=tuple(range(1, p.ndim + 1))),
+                    ctx)
 
 
-def viscous_moment(x0, u: jax.Array, nu, body: Body, t=0.0) -> jax.Array:
+def viscous_moment(x0, u: jax.Array, nu, body: Body, t=0.0, offset=None,
+                   ctx=None) -> jax.Array:
     """-∮ 2ν (x-x0)×(S·n) dS (`viscous_moment`, `Metrics.jl:179-190`)."""
+    from ..ops.dist import psum_all
+
     sp = u.shape[1:]
-    nds = nds_field(body, sp, t, u.dtype)
+    nds = nds_field(body, sp, t, u.dtype, offset)
     S = strain_field(u)
     Sn = jnp.einsum("ij...,j...->i...", S, nds)
-    rel = _rel_coords(sp, x0, u.dtype)
+    rel = _rel_coords(sp, x0, u.dtype, offset)
     df = -2.0 * nu * _cross_field(rel, Sn)
     acc = _acc_dtype(u.dtype)
-    return jnp.sum(df.astype(acc), axis=tuple(range(1, u.ndim)))
+    return psum_all(jnp.sum(df.astype(acc), axis=tuple(range(1, u.ndim))), ctx)
 
 
 def total_moment(x0, sim) -> jax.Array:
