@@ -32,11 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-if os.environ.get("WLTPU_PLATFORM"):    # env JAX_PLATFORMS is overridden by
-    jax.config.update("jax_platforms",  # the TPU plugin in this environment
-                      os.environ["WLTPU_PLATFORM"])
+from waterlily_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache()
 
 _BEST = None           # most recent (= largest-N) completed measurement
 _LOCK = threading.Lock()

@@ -23,8 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
+from waterlily_tpu.utils.cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 
 def main():

@@ -24,10 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-if os.environ.get("WLTPU_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["WLTPU_PLATFORM"])
+from waterlily_tpu.utils.cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 
 def timed(fn, args, reps):

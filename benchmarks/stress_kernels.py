@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
+from waterlily_tpu.utils.cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 from waterlily_tpu.models import flow as fl
 from waterlily_tpu.models import flowflat as ff
