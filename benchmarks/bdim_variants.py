@@ -75,7 +75,10 @@ def main():
             plf._IN_LOOP = old
 
     variants = [
-        ("pallas", lambda *a: plf.bdim_k(*a, dt, g)),
+        ("pallas-bx8", lambda *a: plf.bdim_k(*a, dt, g)),
+        ("pallas-bx4", lambda *a: plf.bdim_k(*a, dt, g, bx=4)),
+        ("pallas-bx16", lambda *a: plf.bdim_k(*a, dt, g, bx=16)),
+        ("pallas-nopipe", lambda *a: plf.bdim_k(*a, dt, g, pipeline=False)),
         ("jnp-flat", jnp_path),
     ]
     args = (u, u0, f, V, mu0, mu1)

@@ -452,7 +452,8 @@ def pred_corr_k(u_adv: jax.Array, u_base: jax.Array, u0: jax.Array,
 
 # ---------------------------------------------------------------- BDIM
 def bdim_k(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
-           mu0: jax.Array, mu1: jax.Array, dt, g: FlatGeom) -> jax.Array:
+           mu0: jax.Array, mu1: jax.Array, dt, g: FlatGeom,
+           bx: int = 8, pipeline: bool = True) -> jax.Array:
     """Fused BDIM update (`BDIM!`, `src/Flow.jl:176-180`), one launch per
     component:
 
@@ -486,7 +487,7 @@ def bdim_k(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
 
         call = _halo_call(body, Nx, S, n_scalar=1,
                           halos=[0, 1, 1, 1, 0, 0, 0, 0], n_aux=3, n_out=1,
-                          bx=8, pipeline=True)
+                          bx=bx, pipeline=pipeline)
         dt1 = jnp.asarray(dt, jnp.float32).reshape(1, 1)
         o = call([dt1], [u[i], u0[i], f[i], V[i], mu0[i],
                          mu1[i, 0], mu1[i, 1], mu1[i, 2]], _planes(g))[0]
