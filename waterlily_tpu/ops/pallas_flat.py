@@ -63,23 +63,41 @@ def use_pallas_flat(a: jax.Array) -> bool:
         return False
 
 
+_USE_ROLL = os.environ.get("WLTPU_PSHIFT_ROLL", "1") == "1"
+
+
 def _pshift(a: jax.Array, s: int) -> jax.Array:
-    """Flat-plane shift of (..., S, 128) window data: b[f] = a[f + s]."""
+    """Flat-plane shift of (..., S, 128) window data: b[f] = a[f + s].
+
+    Two code paths (trace-time switch WLTPU_PSHIFT_ROLL): `pltpu.roll`
+    (hardware circular shift) or slice+concat (Mosaic copies).  The lane
+    remainder needs values from BOTH the q- and (q+1)-sublane-rolled arrays —
+    a lane-index select stitches them."""
     if s == 0:
         return a
     q, r = divmod(s, 128)
     S = a.shape[-2]
     q = q % S
 
-    def sroll(x, k):
-        if k == 0:
-            return x
-        return jnp.concatenate([x[..., k:, :], x[..., :k, :]], axis=-2)
+    if _USE_ROLL:
+        def sroll(x, k):
+            return pltpu.roll(x, -k % S, axis=x.ndim - 2) if k % S else x
+    else:
+        def sroll(x, k):
+            if k % S == 0:
+                return x
+            k = k % S
+            return jnp.concatenate([x[..., k:, :], x[..., :k, :]], axis=-2)
 
     a1 = sroll(a, q)
     if r == 0:
         return a1
-    a2 = sroll(a, (q + 1) % S)
+    a2 = sroll(a, q + 1)
+    if _USE_ROLL:
+        lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+        return jnp.where(lane < 128 - r,
+                         pltpu.roll(a1, 128 - r, axis=a.ndim - 1),
+                         pltpu.roll(a2, 128 - r, axis=a.ndim - 1))
     return jnp.concatenate([a1[..., r:], a2[..., :r]], axis=-1)
 
 
