@@ -108,6 +108,8 @@ def _rshift(a: jax.Array, s: int) -> jax.Array:
         return a
     n = a.shape[0]
     s = s % n
+    if _USE_ROLL:
+        return pltpu.roll(a, n - s, axis=0)
     return jnp.concatenate([a[s:], a[:s]], axis=0)
 
 
