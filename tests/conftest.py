@@ -18,20 +18,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the shard_map/while_loop solver programs dominate
-# suite wall time on CPU; warm runs skip them entirely.  The dir is scoped by
-# a CPU-feature fingerprint — XLA:CPU AOT results encode the compile
-# machine's ISA and SEGFAULT when another host (e.g. the remote-compile
-# service sharing this home dir) wrote entries with features this host
-# lacks.
-import hashlib  # noqa: E402
-
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((l for l in _f if l.startswith("flags")), "")
-except OSError:  # pragma: no cover
-    _flags = ""
-_fp = hashlib.sha1(_flags.encode()).hexdigest()[:10]
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser(f"~/.cache/jax_cache_cpu_{_fp}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compile cache on XLA:CPU: deserializing CPU AOT entries
+# segfaults this host's jaxlib (reproduced twice at ~100 in-process
+# compiles, stack in `compilation_cache.get_executable_and_time`; foreign-
+# host entries additionally warn '+prefer-no-scatter not supported').  The
+# TPU benchmarks keep their persistent cache (device-side executables
+# deserialize fine) via `waterlily_tpu.utils.cache.setup_compile_cache`.

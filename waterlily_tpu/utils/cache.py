@@ -36,9 +36,11 @@ def setup_compile_cache(platform: str | None = None) -> str:
     if platform is None:
         platform = os.environ.get("WLTPU_PLATFORM", "")
     if platform == "cpu":
-        d = os.path.expanduser(f"~/.cache/jax_cache_cpu_{_cpu_fingerprint()}")
-    else:
-        d = os.path.expanduser("~/.cache/jax_comp_cache")
+        # NO persistent cache on XLA:CPU — deserializing CPU AOT entries
+        # segfaults this jaxlib (see tests/conftest.py note)
+        jax.config.update("jax_platforms", platform)
+        return ""
+    d = os.path.expanduser("~/.cache/jax_comp_cache")
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if platform:
