@@ -24,3 +24,19 @@ jax.config.update("jax_enable_x64", True)
 # host entries additionally warn '+prefer-no-scatter not supported').  The
 # TPU benchmarks keep their persistent cache (device-side executables
 # deserialize fine) via `waterlily_tpu.utils.cache.setup_compile_cache`.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_code_between_modules():
+    """XLA:CPU JIT segfaults once the code emitted by ~100 live executables
+    in one process crosses an addressing limit (reproduced 3x at the same
+    suite position, same test, different cache settings; each crashing test
+    passes standalone).  Dropping the jit caches between test modules frees
+    the dead executables' code and keeps the suite under the limit."""
+    yield
+    import jax
+
+    jax.clear_caches()
