@@ -200,6 +200,8 @@ def main():
                 "value": rate,
                 "unit": "cell-updates/s",
                 "vs_baseline": rate / 1e9,
+                "ms_per_step": N ** 3 / rate * 1e3,
+                "steps_timed": steps,
             }
     _DONE.set()
     _emit_and_exit(0)

@@ -126,3 +126,25 @@ def test_orbax_async(tmp_path):
     sim2 = make_sim(2)
     load_orbax(f, sim2)
     assert len(sim2.flow.dt) == len(sim.flow.dt) - 1
+
+
+def test_load_resyncs_flat_engine_mirror():
+    """Restoring a checkpoint into a flat-engine sim must reach the flat
+    state actually stepped — regression for the load path ignoring
+    sim._sync_flat (the restore was silently discarded on TPU)."""
+    def mk():
+        body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - 8.0) ** 2)) - 4.0)
+        return Simulation((16, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                          body=body, dtype=F32, engine="flat")
+
+    src = mk()
+    src.sim_step(remeasure=False)
+    import tempfile
+    f = os.path.join(tempfile.mkdtemp(), "s.npz")
+    save_state(f, src)
+    src.sim_step(remeasure=False)   # reference: one more step from the ckpt
+
+    dst = mk()
+    load_state(f, dst)
+    dst.sim_step(remeasure=False)
+    assert np.allclose(np.array(dst.flow.u), np.array(src.flow.u), atol=2e-6)

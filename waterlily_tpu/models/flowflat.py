@@ -147,8 +147,11 @@ def bdim_flat(u, u0, f, V, mu0, mu1, dt, g: FlatGeom,
     from ..ops.dist import sync_scalar
 
     if ctx is not None:
+        # edge_zero=False: physical-edge x ghost rows keep their local values
+        # (the accelerate()/g contribution lives there — matches the 3D dist
+        # path's `sync_vector(fp, edge_zero=False)`, `models.flow.bdim_update`)
         f = sync_scalar(f, ctx, perdir=(0,) if 0 in perdir else (),
-                        lead=f.ndim - 3, edge_zero=True)
+                        lead=f.ndim - 3, edge_zero=False)
     if plf.use_pallas_flat(u):
         return plf.bdim_k(u, u0, f, V, mu0, mu1, dt, g)
     meta = _axis_meta(g, u.dtype)

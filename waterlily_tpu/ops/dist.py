@@ -118,7 +118,8 @@ def sync_scalar(a: jax.Array, ctx: Optional[DistCtx],
 
     * sharded dims: ring halo exchange; on physical-edge shards of
       non-periodic dims the outer ghost is zeroed (``edge_zero``, the solver
-      fields' convention) or left as the wrapped value otherwise;
+      fields' convention) or keeps its LOCAL pre-sync value otherwise (BC /
+      forcing ghosts);
     * unsharded periodic dims: local wrap (single-device `perBC!`);
     * unsharded non-periodic dims: untouched.
     """

@@ -169,12 +169,15 @@ def sync_ghost_flat(a: jax.Array, perdir: tuple[int, ...], g: FlatGeom,
     return per_bc_flat(a, perdir, g)
 
 
-def x_parity(ctx) -> int:
+def x_parity(ctx, g: FlatGeom) -> int:
     """Global parity offset of local x row 0 (red-black coloring across
-    shards; 0 when undistributed)."""
+    shards; 0 when undistributed).  Uses THIS level's local interior extent
+    ``g.Nx - 2`` — ctx.n_loc is the fine level's and would give the wrong
+    checkerboard on coarse levels with odd local interiors (the 3D path's
+    `parity_shift(ctx, x.shape)` analog)."""
     if ctx is None:
         return 0
-    return (ctx.coords[0] * ctx.n_loc[0]) % 2
+    return (ctx.coords[0] * (g.Nx - 2)) % 2
 
 
 def per_bc_flat(a: jax.Array, perdir: tuple[int, ...], g: FlatGeom
@@ -420,13 +423,7 @@ def mult_flat(L: jax.Array, D: jax.Array, x: jax.Array, g: FlatGeom,
     x = sync_ghost_flat(x, perdir, g, ctx)
     if plf.use_pallas_flat(x):
         return plf.mult_k(x, L, D, g)
-    s = x * D
-    for i, st in ((0, None), (1, g.Nz), (2, 1)):
-        if st is None:
-            s = s + xshift(x, -1) * L[i] + xshift(x, 1) * xshift(L[i], 1)
-        else:
-            s = s + fshift(x, -st) * L[i] + fshift(x, st) * fshift(L[i], st)
-    return zero_ghost_flat(s, g)
+    return _mult_synced(L, D, x, g)
 
 
 def residual_flat(L, D, iD, x, z, g: FlatGeom,
@@ -519,7 +516,7 @@ def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0,
         return plf.gs_incr(x, r, L, D, iD, colors, omega, g)
     yv, zv, insf = yz_planes(g, x.dtype)
     ix = _x_iota(x)
-    par = (ix + x_parity(ctx) + yv + zv) % 2
+    par = (ix + x_parity(ctx, g) + yv + zv) % 2
     ins = (insf > 0) & (ix >= 1) & (ix <= g.Nx - 2)
     eps = zero_ghost_flat(r * iD, g)
     for color in colors:

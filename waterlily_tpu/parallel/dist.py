@@ -147,7 +147,9 @@ class DistSimulation:
         self.sim = sim
         self.cfg = cfg
         # blocked, sharded device state
-        self.state = self._put_state(sim.flow.state)
+        self._flat_mode = False   # final value decided below
+        self._fstale = False      # flat state newer than the 3D mirror?
+        self._state = self._put_state(sim.flow.state)
         self.levels = self._build_levels()
         self.solver_stats = None
         # flat (x, y·z) fast path: x-only decomposition of a 3D mg config
@@ -281,9 +283,18 @@ class DistSimulation:
 
         @jax.jit
         @partial(shard_map, mesh=self.mesh, in_specs=(self._fstate_specs,),
-                 out_specs=(self._specs(1), self._specs(0)), check_vma=False)
+                 out_specs=(self._specs(1), self._specs(1), self._specs(0)),
+                 check_vma=False)
         def to_3d_up(state):
-            return fo.from_flat(state.u, gl), fo.from_flat(state.p, gl)
+            return (fo.from_flat(state.u, gl), fo.from_flat(state.u0, gl),
+                    fo.from_flat(state.p, gl))
+
+        @jax.jit
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(self._specs(1), self._specs(1), self._specs(2)),
+                 out_specs=(fspec(1), fspec(1), fspec(2)), check_vma=False)
+        def coeffs_to_flat(V, mu0, mu1):
+            return fo.to_flat(V, gl), fo.to_flat(mu0, gl), fo.to_flat(mu1, gl)
 
         @jax.jit
         @partial(shard_map, mesh=self.mesh, in_specs=(self._level_specs(),),
@@ -294,6 +305,7 @@ class DistSimulation:
 
         self._to_flat_state = to_flat_state
         self._to_3d_up = to_3d_up
+        self._coeffs_to_flat = coeffs_to_flat
         self._flatten_levels = flatten_levels
         self._fstate = to_flat_state(self.state)
         self._fmg = flatten_levels(self.levels)
@@ -361,18 +373,27 @@ class DistSimulation:
         return self.sim.flow.pois_n
 
     @property
+    def state(self) -> fl.FlowState:
+        """Blocked, sharded 3D state.  In flat mode the stepped fields live
+        in `_fstate`; the 3D mirror refreshes lazily on first read after a
+        step (one layout pass), so readers never see stale fields."""
+        if self._flat_mode and self._fstale:
+            u3, u03, p3 = self._to_3d_up(self._fstate)
+            self._state = dataclasses.replace(self._state, u=u3, u0=u03, p=p3)
+            self._fstale = False
+        return self._state
+
+    @state.setter
+    def state(self, v):
+        self._state = v
+
+    @property
     def u(self) -> np.ndarray:
         """Velocity in the dense single-device layout."""
-        if self._flat_mode:
-            u3, _ = self._to_3d_up(self._fstate)
-            return from_blocked(u3, self.sizes, lead=1)
         return from_blocked(self.state.u, self.sizes, lead=1)
 
     @property
     def p(self) -> np.ndarray:
-        if self._flat_mode:
-            _, p3 = self._to_3d_up(self._fstate)
-            return from_blocked(p3, self.sizes, lead=0)
         return from_blocked(self.state.p, self.sizes, lead=0)
 
     def measure(self, t: Optional[float] = None):
@@ -387,12 +408,12 @@ class DistSimulation:
             self._measure = self._measure_fn()
         V, mu0, mu1, levels = self._measure(self.sim.body,
                                             jnp.asarray(t, self.cfg.dtype))
-        self.state = dataclasses.replace(self.state, V=V, mu0=mu0, mu1=mu1)
+        self._state = dataclasses.replace(self._state, V=V, mu0=mu0, mu1=mu1)
         self.levels = levels
         if self._flat_mode:
-            fs = self._to_flat_state(self.state)
-            self._fstate = dataclasses.replace(self._fstate, V=fs.V,
-                                               mu0=fs.mu0, mu1=fs.mu1)
+            Vf, mu0f, mu1f = self._coeffs_to_flat(V, mu0, mu1)
+            self._fstate = dataclasses.replace(self._fstate, V=Vf,
+                                               mu0=mu0f, mu1=mu1f)
             self._fmg = self._flatten_levels(levels)
 
     def step_once(self, remeasure: bool = True, udf=None):
@@ -412,6 +433,7 @@ class DistSimulation:
         if self._flat_mode:
             self._fstate, dt_next, iters, stats = step(self._fstate,
                                                        self._fmg, dt, t0)
+            self._fstale = True
         else:
             self.state, dt_next, iters, stats = step(self.state, self.levels,
                                                      dt, t0)
@@ -498,6 +520,7 @@ class DistSimulation:
         t0 = jnp.asarray(self.time, self.cfg.dtype)
         if self._flat_mode:
             (self._fstate, _, _), ys = run(self._fstate, self._fmg, dt, t0)
+            self._fstale = True
         else:
             (self.state, _, _), ys = run(self.state, self.levels, dt, t0)
         dts, iters, stats = ys

@@ -67,7 +67,17 @@ def load_state(fname: str, sim, meanflow=None):
             if "mf_UU" in d:
                 meanflow.UU = jnp.asarray(d["mf_UU"])
             meanflow.t = [float(x) for x in d["mf_t"]]
+    _resync_flat(sim)
     return sim
+
+
+def _resync_flat(sim):
+    """Push restored 3D fields into the flat-engine mirror — without this a
+    TPU Simulation (flat engine auto-on for 3D) keeps stepping the
+    pre-restore flat state and silently discards the checkpoint."""
+    sync = getattr(sim, "_sync_flat", None)
+    if sync is not None:
+        sync()
 
 
 # ------------------------------------------------------------- orbax
@@ -118,6 +128,7 @@ def load_orbax(path: str, sim, meanflow=None):
         if d.get("mf_UU") is not None:
             meanflow.UU = jnp.asarray(d["mf_UU"])
         meanflow.t = [float(x) for x in d["mf_t"]]
+    _resync_flat(sim)
     return sim
 
 
@@ -236,6 +247,7 @@ def load_vtk(sim, fname: str = "waterlily.pvd"):
     u = jnp.asarray(fields["Velocity"][: len(sim.flow.cfg.shape)], dtype)
     p = jnp.asarray(fields["Pressure"], dtype)
     sim.flow.state = dataclasses.replace(sim.flow.state, p=p, u=u, u0=u)
+    _resync_flat(sim)
     sim.flow.dt = _dt_hist(entries)
     writer = VTKWriter(fname[:-4] if fname.endswith(".pvd") else fname)
     writer.entries = list(entries)
