@@ -104,7 +104,8 @@ def _measure(N: int, steps: int, engine: str):
 
     import math
 
-    if os.environ.get("WLTPU_BENCH_SCAN", "1") == "1":
+    scan_mode = os.environ.get("WLTPU_BENCH_SCAN", "1") == "1"
+    if scan_mode:
         # scan mode: the whole measurement is ONE lax.scan program (the
         # `sim_step_n` driver shape) — per-step dispatch round trips vanish
         # and the warmup run doubles as the compile
@@ -117,7 +118,13 @@ def _measure(N: int, steps: int, engine: str):
 
             return jax.lax.scan(one, (state, dt, t0), None, length=steps)
 
-        (state, dt, t0), (dts, iters) = run(state, solver, dt, t0)  # warmup
+        try:
+            (state, dt, t0), (dts, iters) = run(state, solver, dt, t0)  # warmup
+        except Exception as e:   # scan form failed to compile/run —
+            print(f"# scan mode failed ({str(e)[:120]}); falling back to "
+                  "dispatch-per-step", file=sys.stderr, flush=True)
+            return _measure_dispatch(N, steps, step, state, solver, dt, t0,
+                                     probe)
         p0 = float(probe(state))
         if not math.isfinite(p0) or not math.isfinite(float(dt)):
             raise RuntimeError(f"{N}^3 simulation diverged during warmup "
@@ -137,7 +144,14 @@ def _measure(N: int, steps: int, engine: str):
               file=sys.stderr, flush=True)
         return N ** 3 * steps / elapsed
 
-    # dispatch-per-step mode (WLTPU_BENCH_SCAN=0)
+    return _measure_dispatch(N, steps, step, state, solver, dt, t0, probe)
+
+
+def _measure_dispatch(N, steps, step, state, solver, dt, t0, probe):
+    """Dispatch-per-step measurement (WLTPU_BENCH_SCAN=0, or the scan-mode
+    fallback)."""
+    import math
+
     # warmup: compile + 2 steps (lets dt settle to the CFL limit)
     step = jax.jit(step)
     iters = None
