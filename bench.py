@@ -13,8 +13,9 @@ Robustness contract (the driver runs this under an unknown `timeout`):
 - a watchdog thread prints the best result measured so far and exits at
   WLTPU_BENCH_BUDGET_S seconds (default 510) — a partial number always
   lands even if a cold 256^3 compile would blow the budget;
-- sizes run as a ladder (128^3 first, then 256^3) so a result exists
-  within ~2 min on a warm compile cache;
+- sizes run as a ladder (64^3, 128^3, then 256^3) so a result exists
+  within ~2 min on a warm compile cache and even a cold cache lands the
+  small rung; override with WLTPU_BENCH_LADDER="128,256";
 - no recompile retry cascade: the solver runs its default pure-while_loop
   form (mg_unroll=0 — fastest and cheapest to compile, measured).
 
@@ -194,7 +195,11 @@ def main():
     if "WLTPU_BENCH_N" in os.environ:
         sizes = [int(os.environ["WLTPU_BENCH_N"])]
     else:
-        sizes = [128, 256]
+        # 64^3 first: its compile is the cheapest, so SOME nonzero number
+        # lands within the budget even on a fully cold compile cache
+        # (round 1's rc=124 null result must never recur)
+        sizes = [int(s) for s in
+                 os.environ.get("WLTPU_BENCH_LADDER", "64,128,256").split(",")]
 
     global _BEST
     for N in sizes:
