@@ -87,6 +87,9 @@ def main():
         ("bdim", lambda u, u0, f, V, m0, m1:
          plf.bdim_k(u, u0, f, V, m0, m1, dt, g),
          (u, u, u, state.V, state.mu0, state.mu1)),
+        ("bdim_band", lambda u, u0, f, V, m0, m1:
+         plf.bdim_band(u, u0, f, V, m0, m1, dt, g, cfg.band_x),
+         (u, u, u, state.V, state.mu0, state.mu1)),
         ("pred_corr", lambda u, V, m0, m1:
          plf.pred_corr_k(u, u, u, V, m0, m1, dt, state.nu, cfg.scheme,
                          0.0, 1.0, g),

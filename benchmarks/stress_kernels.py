@@ -61,11 +61,25 @@ def stress(N: int, reps: int = 6) -> int:
     nu, dt, om = jnp.float32(0.1), jnp.float32(0.2), jnp.float32(0.8)
     colors = [(1 - 3 - k0) % 2 for k0 in range(1, 5)]
 
+    # band-conforming moments: outside x rows [lo, hi) the fields equal the
+    # measure-time far field (μ1 = 0, V = 0, μ0 = bc_vector(ones, zeros))
+    lo, hi = max(2, N // 4), min(N, 3 * N // 4)
+    inb = ((jnp.arange(g.Nx) >= lo) & (jnp.arange(g.Nx) < hi)
+           ).astype(jnp.float32)[:, None, None]
+    mu0_far = _jnp(fo.bc_vector_flat, jnp.ones_like(u), (0.0, 0.0, 0.0), g)
+    mu0_b = mu0_far + (mu0 - mu0_far) * inb
+    mu1_b = mu1 * inb
+    V_b = V * inb
+
     cases = {
         "conv_diff_k": (lambda: plf.conv_diff_k(u, nu, fl.quick, g),
                         lambda: _jnp(ff.conv_diff_flat, u, fl.quick, nu, g)),
         "bdim_k": (lambda: plf.bdim_k(u, u, u, V, mu0, mu1, dt, g),
                    lambda: _jnp(ff.bdim_flat, u, u, u, V, mu0, mu1, dt, g)),
+        "bdim_band": (lambda: plf.bdim_band(u, u, u, V_b, mu0_b, mu1_b, dt,
+                                            g, (lo, hi)),
+                      lambda: _jnp(ff.bdim_flat, u, u, u, V_b, mu0_b, mu1_b,
+                                   dt, g)),
         "div_k": (lambda: plf.div_k(u, g), lambda: _jnp(fo.div_flat, u, g)),
         "mult_k": (lambda: plf.mult_k(x, L, D, g),
                    lambda: _jnp(fo.mult_flat, L, D, x, g)),

@@ -228,3 +228,73 @@ def test_flat_parity_udf_conversion_path():
     mk = lambda eng: Simulation((12, 10, 10), (1.0, 0.0, 0.0), 4, nu=0.05,
                                 dtype=F64, engine=eng)
     _parity_run(mk("3d"), mk("flat"), udf=forcing)
+
+
+# --------------------------------------------------------- band-sparse BDIM
+def test_band_x_tracked_and_widened():
+    """`Simulation` maintains cfg.band_x around the measured moments and
+    widens it when a moving body escapes the padded interval."""
+    from waterlily_tpu.simulation import _BAND_PAD
+
+    R, dims = 4, (24, 16, 16)
+    ctr = jnp.asarray([8.0, 8.0, 8.0], jnp.float32)
+
+    def sph(x, t):
+        return jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R
+
+    def slide(x, t):   # translate +x at speed 1
+        return x - jnp.stack([t, jnp.zeros_like(t), jnp.zeros_like(t)])
+
+    sim = Simulation(dims, (1.0, 0.0, 0.0), R, nu=0.05, dtype=jnp.float32,
+                     body=AutoBody(sph, slide), engine="flat")
+    band0 = sim.flow.cfg.band_x
+    assert band0 is not None
+    lo0, hi0 = band0
+    # the sphere occupies x in [8-R-2, 8+R+2] before padding; the stored
+    # interval must cover it and stay inside the domain
+    assert 1 <= lo0 <= 8 - R and 8 + R <= hi0 <= dims[0] + 1
+    # moving inside the pad: no change
+    sim.measure(t=1.0)
+    assert sim.flow.cfg.band_x == band0
+    # escaping the pad: interval must follow the body
+    sim.measure(t=float(_BAND_PAD + 3))
+    lo1, hi1 = sim.flow.cfg.band_x
+    assert hi1 > hi0 and hi1 >= 8 + R + _BAND_PAD + 2
+
+
+def test_band_bdim_parity_interpret():
+    """End-to-end flat step with the band-sparse BDIM kernel (interpret
+    mode) == the same step with the band path disabled."""
+    from waterlily_tpu.ops import pallas_flat as plf
+
+    def run(band_off):
+        sim = _sphere(dims=(16, 12, 12), dtype=jnp.float32)
+        cfg = sim.flow.cfg
+        g = fo.geom_of(cfg.shape)
+        fmg, masks, _ = mgflat.make_mg_flat(sim.flow.state.mu0)
+        from waterlily_tpu.simulation import _band_rows_jit
+
+        st = sim.flow.state
+        lo, hi = _band_rows_jit(st.V, st.mu0, st.mu1)
+        cfg = dataclasses.replace(
+            cfg, band_x=None if band_off else (int(lo), int(hi)))
+        sf = ff.state_to_flat(st, g)
+        dt = jnp.asarray(0.25, jnp.float32)
+        t = jnp.asarray(0.0, jnp.float32)
+        old = plf._INTERPRET
+        plf._INTERPRET = True
+        try:
+            for _ in range(2):
+                sf, dtf, _, _ = ff.mom_step_flat_impl(cfg, sf, fmg, masks, g,
+                                                      dt, t)
+                t = t + dt
+                dt = dtf
+        finally:
+            plf._INTERPRET = old
+        return np.asarray(fo.from_flat(sf.u, g)), np.asarray(
+            fo.from_flat(sf.p, g))
+
+    u_band, p_band = run(band_off=False)
+    u_full, p_full = run(band_off=True)
+    assert np.allclose(u_band, u_full, atol=1e-5)
+    assert np.allclose(p_band, p_full, atol=1e-4)

@@ -146,3 +146,36 @@ def test_pred_corr_k(mode):
         want = _scale_interior_flat(want, sc, g)
     plf._INTERPRET = True
     assert np.allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_bdim_band():
+    # band-sparse BDIM == full BDIM when the moments honor the band premise:
+    # outside x rows [lo, hi) the fields equal the measure-time far field
+    # (mu1 = 0, V = 0, mu0 = bc_vector(ones, zeros) — the index-1 normal-face
+    # planes zeroed)
+    g, u, x, r, L, D, iD, ks = _fields()
+    lo, hi = 4, 9
+    bx = jnp.arange(g.Nx)
+    inb = ((bx >= lo) & (bx < hi)).astype(F32)[:, None, None]
+    u0 = u + 0.1
+    f = 0.5 * u
+    V = 0.2 * u * inb
+    plf._INTERPRET = False
+    mu0_far = fo.bc_vector_flat(jnp.ones_like(u), (0.0, 0.0, 0.0), g)
+    plf._INTERPRET = True
+    mu0 = mu0_far + (jnp.abs(u) - mu0_far) * inb
+    mu1 = jnp.stack([0.1 * u, 0.2 * u, 0.3 * u], axis=0) * inb
+    dt = jnp.float32(0.2)
+    got = plf.bdim_band(u, u0, f, V, mu0, mu1, dt, g, (lo, hi))
+    plf._INTERPRET = False
+    want = ff.bdim_flat(u, u0, f, V, mu0, mu1, dt, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # empty band: far-field formula everywhere
+    z3 = jnp.zeros_like(u)
+    got = plf.bdim_band(u, u0, f, z3, mu0_far, jnp.zeros_like(mu1), dt, g,
+                        (1, 1))
+    plf._INTERPRET = False
+    want = ff.bdim_flat(u, u0, f, z3, mu0_far, jnp.zeros_like(mu1), dt, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -103,6 +103,12 @@ class FlowCfg:
                                     # both fastest and cheapest to compile
                                     # (measured post div_k-fix, 128^3)
     fused_pc: bool = False          # fully-fused predictor/corrector kernel
+    band_x: Optional[tuple[int, int]] = None
+                                    # static x-row range [lo, hi) containing
+                                    # every cell with nontrivial BDIM moments
+                                    # (μ0≠1 | μ1≠0 | V≠0); set at measure time
+                                    # by `Simulation`, enables the band-sparse
+                                    # BDIM fast path (`pallas_flat.bdim_band`)
 
     @property
     def D(self) -> int:

@@ -138,7 +138,8 @@ def conv_diff_flat(u: jax.Array, scheme, nu, g: FlatGeom,
 
 
 def bdim_flat(u, u0, f, V, mu0, mu1, dt, g: FlatGeom,
-              perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
+              perdir: tuple[int, ...] = (), ctx=None,
+              band_x=None) -> jax.Array:
     """`BDIM!` (`src/Flow.jl:176-180`) on flat fields.  Under x-decomposition
     f's halo rows are ring-refreshed first so the μ1·∇f* gradient is correct
     for bodies straddling shard boundaries (the 3D path syncs f* itself,
@@ -153,6 +154,8 @@ def bdim_flat(u, u0, f, V, mu0, mu1, dt, g: FlatGeom,
         f = sync_scalar(f, ctx, perdir=(0,) if 0 in perdir else (),
                         lead=f.ndim - 3, edge_zero=False)
     if plf.use_pallas_flat(u):
+        if band_x is not None and ctx is None:
+            return plf.bdim_band(u, u0, f, V, mu0, mu1, dt, g, band_x, perdir)
         return plf.bdim_k(u, u0, f, V, mu0, mu1, dt, g)
     meta = _axis_meta(g, u.dtype)
     fp = u0 + dt * f - V
@@ -231,7 +234,11 @@ def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
 
     plain = (udf is None and cfg.g is None and not callable(cfg.ubc)
              and not cfg.perdir and ctx is None)
-    if plf.use_pallas_flat(u_adv) and cfg.fused_pc and plain:
+    # band-sparse BDIM beats the fused kernel when available: separate
+    # conv_diff (5.96 ms) + slab bdim (~3 ms) < fused pred_corr (14.2 ms)
+    # at 256³ — the fusion saved the f round-trip but pays full-field μ reads
+    if (plf.use_pallas_flat(u_adv) and cfg.fused_pc and plain
+            and cfg.band_x is None):
         return plf.pred_corr_k(u_adv, u_base, u0, state.V, state.mu0,
                                state.mu1, dt, state.nu, cfg.scheme,
                                keep_base, scale, g)
@@ -242,7 +249,7 @@ def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
     f = accelerate_flat(f, f_t, cfg, g, ctx3)
     u = u_base if keep_base else _scale_interior_flat(u_base, 0.0, g)
     u = bdim_flat(u, u0, f, state.V, state.mu0, state.mu1, dt, g,
-                  cfg.perdir, ctx)
+                  cfg.perdir, ctx, band_x=cfg.band_x if ctx is None else None)
     if scale != 1.0:
         u = _scale_interior_flat(u, scale, g)
     return u

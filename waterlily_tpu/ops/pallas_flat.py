@@ -31,9 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flat import FlatGeom, yz_planes
 
-__all__ = ["use_pallas_flat", "conv_diff_k", "bdim_k", "pred_corr_k",
-           "jacobi_incr", "gs_incr", "mult_k", "increment_k", "div_k",
-           "bc_k"]
+__all__ = ["use_pallas_flat", "conv_diff_k", "bdim_k", "bdim_band",
+           "pred_corr_k", "jacobi_incr", "gs_incr", "mult_k", "increment_k",
+           "div_k", "bc_k"]
 
 _INTERPRET = False
 _IN_LOOP = False     # manual switch to the jnp flat reference path (used by
@@ -516,6 +516,47 @@ def bdim_k(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
                          mu1[i, 0], mu1[i, 1], mu1[i, 2]], _planes(g))[0]
         out.append(_fix_ghost_rows(o, u[i][0:1], u[i][-1:]))
     return jnp.stack(out)
+
+
+def bdim_band(u: jax.Array, u0: jax.Array, f: jax.Array, V: jax.Array,
+              mu0: jax.Array, mu1: jax.Array, dt, g: FlatGeom,
+              band: tuple[int, int],
+              perdir: tuple[int, ...] = ()) -> jax.Array:
+    """Band-sparse BDIM: the μ-weighted update only deviates from the
+    far-field pattern where the body's kernel moments are nontrivial — for a
+    body of scale L that is O(L²) of O(L³) cells.  ``band = (lo, hi)`` is the
+    static x-row range (global, 1 ≤ lo < hi ≤ Nx−1) outside which the
+    measured fields equal the canonical far field: μ1 ≡ 0, V ≡ 0, μ0 ≡ 1
+    except the normal-face index-1 plane of each non-periodic direction,
+    zeroed by the measure-time BC fill (`models.body.measure_fill`).  So
+
+        rows ∉ [lo, hi):  u + inside_i·(u0 + dt·f)         (3 reads, fused XLA)
+        rows ∈ [lo, hi):  full `bdim_k` on the ±1-halo x-slab
+
+    with ``inside_i`` the interior mask minus component i's zeroed face
+    plane.  The interval is computed at measure time by `Simulation`
+    (`_band_rows_jit`).  Cuts ~2/3 of BDIM's HBM traffic and nearly all its
+    shift compute for typical body/domain ratios.
+    """
+    lo, hi = band
+    from .flat import geom_of, inside_mask_flat, yz_planes
+
+    m = inside_mask_flat(g, u.shape[1:], u.dtype)
+    yv, zv, _ = yz_planes(g, jnp.int32)
+    xv = jax.lax.broadcasted_iota(jnp.int32, u.shape[1:], 0)
+    masks = []
+    for i, idx in enumerate((xv, yv, zv)):
+        masks.append(m * (idx != 1).astype(u.dtype)
+                     if i not in perdir else m)
+    mm = jnp.stack(masks)
+    cheap = u + mm * (u0 + dt * f)
+    if hi <= lo:
+        return cheap
+    sl = slice(lo - 1, hi + 1)
+    gs = geom_of((hi - lo + 2, g.Ny, g.Nz))
+    slab = bdim_k(u[:, sl], u0[:, sl], f[:, sl], V[:, sl], mu0[:, sl],
+                  mu1[:, :, sl], dt, gs)
+    return cheap.at[:, lo:hi].set(slab[:, 1:-1])
 
 
 # ---------------------------------------------------------------- Poisson

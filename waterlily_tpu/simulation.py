@@ -77,6 +77,36 @@ def check_fn(f, D: int, dtype, nargs: int, name: str) -> None:
                 f"{jnp.shape(out)} for i={i}")
 
 
+@partial(jax.jit, static_argnames=("perdir",))
+def _band_rows_jit(V, mu0, mu1, perdir=()):
+    """x rows (axis 1 of the 3D fields) whose INTERIOR cells deviate from the
+    canonical far-field BDIM pattern: μ1 = 0, V = 0, and μ0 = 1 except the
+    normal-face index-1 plane of each non-periodic direction, which the
+    measure-time BC fill zeroes (`measure_fill`: `bc_vector(mu0, zeros)`).
+    Ghost-plane values are excluded: the BDIM update is interior-masked, μ1
+    is only ever read at interior cells, and the ±1-halo slab of `bdim_band`
+    brings the true ghost planes of band rows along."""
+    itr = (slice(None), slice(1, -1), slice(1, -1), slice(1, -1))
+    m0 = mu0[itr]
+    exp = jnp.ones_like(m0)
+    if 0 not in perdir:
+        exp = exp.at[0, 0].set(0.0)         # x = 1 (interior-sliced index 0)
+    if 1 not in perdir:
+        exp = exp.at[1, :, 0].set(0.0)      # y = 1
+    if 2 not in perdir:
+        exp = exp.at[2, :, :, 0].set(0.0)   # z = 1
+    dev = ((m0 != exp).any(axis=(0, 2, 3)) | (V[itr] != 0).any(axis=(0, 2, 3))
+           | (mu1[(slice(None),) + itr] != 0).any(axis=(0, 1, 3, 4)))
+    n = dev.shape[0]                        # interior rows 1..n (global)
+    ix = jnp.arange(n) + 1
+    lo = jnp.min(jnp.where(dev, ix, n + 1))
+    hi = jnp.max(jnp.where(dev, ix + 1, 0))
+    return lo, hi
+
+
+_BAND_PAD = 4    # extra rows so a slowly-drifting body doesn't retrace
+
+
 def pcg_solve_fn(levels, masks, x, z, tol, itmx, perdir):
     """Adapter running the standalone PCG `Poisson` solver in place of the
     multigrid one (the `pois_ctor` dependency-injection hook of the reference,
@@ -165,6 +195,7 @@ class Simulation:
             }
             self._flat_fresh = False   # flat state newer than flow._state?
             self.flow._refresh = self._pull_flat
+        self._update_band()
 
     # ------------------------------------------------------------- time
     @property
@@ -180,6 +211,31 @@ class Simulation:
     def pois_n(self):
         """Pressure iterations per projection (reference `sim.pois.n`)."""
         return self.flow.pois_n
+
+    def _update_band(self):
+        """Maintain ``cfg.band_x`` — the static x-row interval with
+        nontrivial BDIM moments — enabling the band-sparse BDIM kernel
+        (`ops.pallas_flat.bdim_band`).  The stored interval carries
+        ``_BAND_PAD`` slack rows so a slowly drifting body re-traces only
+        every few cells of travel; an escape widens it (correctness is never
+        at stake: outside the measured rows μ0 ≡ 1, μ1 ≡ 0, V ≡ 0 exactly)."""
+        if self._flat is None or isinstance(self.body, NoBody):
+            return
+        st = self.flow.state
+        lo, hi = _band_rows_jit(st.V, st.mu0, st.mu1,
+                                perdir=self.flow.cfg.perdir)
+        lo, hi = int(lo), int(hi)
+        cfg = self.flow.cfg
+        cur = cfg.band_x
+        if hi <= lo:
+            band = None
+        else:
+            Nx = cfg.shape[0]
+            if cur is not None and cur[0] <= lo and hi <= cur[1]:
+                return   # raw bounds still inside the stored padded interval
+            band = (max(1, lo - _BAND_PAD), min(Nx - 1, hi + _BAND_PAD))
+        if band != cur:
+            self.flow.cfg = dataclasses.replace(cfg, band_x=band)
 
     # ------------------------------------------------------------- stepping
     def measure(self, t: Optional[float] = None):
@@ -208,6 +264,7 @@ class Simulation:
             from .ops.flat import to_flat
             self._flat["state"] = dataclasses.replace(
                 st, V=to_flat(V, gm), mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
+        self._update_band()
 
     def step_once(self, remeasure: bool = True, udf=None):
         """One `mom_step` (+ optional body re-measure), host bookkeeping of
@@ -281,7 +338,9 @@ class Simulation:
         analog; its host loop at `WaterLily.jl:128-139` dispatches every
         kernel individually.)"""
         cfg = self.flow.cfg
-        key = ("scan", n, id(udf), self._flat is not None)
+        # cfg is part of the key: `measure()` may widen cfg.band_x for a
+        # moving body, and the cached closure would silently keep the old one
+        key = ("scan", n, id(udf), self._flat is not None, cfg)
         cache = getattr(self, "_scan_cache", None)
         if cache is None or cache[0] != key:
             if self._flat is not None:
