@@ -442,6 +442,44 @@ def mom_step(cfg: FlowCfg, state: FlowState, levels, masks, dt, t0,
 
 
 # ---------------------------------------------------------------- host wrapper
+def init_state(cfg: "FlowCfg", nu, u0=None) -> "FlowState":
+    """Pure constructor of the initial `FlowState` (`Flow`, `Flow.jl:133-147`):
+    apply the initial condition over all faces, enforce BCs, run the
+    constructor-time `exitBC!`, and zero the BDIM moments.  Kept free of side
+    effects so the whole thing traces into ONE device program
+    (`_init_state_jit`) — eager op-by-op construction costs a tunnel round
+    trip per op on remote backends."""
+    D, shape, dtype = cfg.D, cfg.shape, cfg.dtype
+    ubc = cfg.ubc
+    if u0 is None:
+        if callable(ubc):
+            u = apply_vector(lambda i, x: ubc(i, x, jnp.asarray(0.0, dtype)),
+                             D, shape, dtype)
+        else:
+            u = jnp.broadcast_to(
+                jnp.asarray(ubc, dtype).reshape((D,) + (1,) * D),
+                (D,) + shape).astype(dtype)
+    elif callable(u0):
+        u = apply_vector(u0, D, shape, dtype)
+    else:
+        u = jnp.broadcast_to(jnp.asarray(u0, dtype).reshape((D,) + (1,) * D),
+                             (D,) + shape).astype(dtype)
+    u = bc_vector(u, ubc, 0.0, cfg.exit_bc, cfg.perdir)
+    u = exit_bc_init(u)
+    mu0 = bc_vector(jnp.ones((D,) + shape, dtype), (0.0,) * D,
+                    save_exit=False, perdir=cfg.perdir)
+    return FlowState(
+        u=u, u0=u, p=jnp.zeros(shape, dtype),
+        V=jnp.zeros((D,) + shape, dtype), mu0=mu0,
+        mu1=jnp.zeros((D, D) + shape, dtype),
+        nu=jnp.asarray(nu, dtype))
+
+
+@partial(jax.jit, static_argnames=("cfg", "u0"))
+def _init_state_jit(cfg, nu, u0=None):
+    return init_state(cfg, nu, u0)
+
+
 class Flow:
     """Host-side flow container: a `FlowState` pytree + static `FlowCfg` +
     the CPU time-step history (`Flow`, `Flow.jl:131-148`)."""
@@ -453,7 +491,6 @@ class Flow:
                  smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
                  fused_pc: Optional[bool] = None,
                  fine_smooth_it: Optional[int] = None):
-        D = len(N)
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
@@ -463,29 +500,13 @@ class Flow:
                                                    fine_smooth_it, 0),
                            mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 0),
                            fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)))
-        if u0 is None:
-            if callable(ubc):
-                u = apply_vector(lambda i, x: ubc(i, x, jnp.asarray(0.0, dtype)),
-                                 D, shape, dtype)
-            else:
-                u = jnp.broadcast_to(
-                    jnp.asarray(ubc, dtype).reshape((D,) + (1,) * D),
-                    (D,) + shape).astype(dtype)
-        elif callable(u0):
-            u = apply_vector(u0, D, shape, dtype)
-        else:
-            u = jnp.broadcast_to(jnp.asarray(u0, dtype).reshape((D,) + (1,) * D),
-                                 (D,) + shape).astype(dtype)
-        u = bc_vector(u, self.cfg.ubc, 0.0, exit_bc, self.cfg.perdir)
-        u = exit_bc_init(u)
-        mu0 = bc_vector(jnp.ones((D,) + shape, dtype), (0.0,) * D,
-                        save_exit=False, perdir=self.cfg.perdir)
+        if u0 is not None and not callable(u0):
+            u0 = tuple(float(v) for v in u0)   # hashable jit key
         self._refresh = None            # lazy-sync hook (flat-engine backed)
-        self.state = FlowState(
-            u=u, u0=u, p=jnp.zeros(shape, dtype),
-            V=jnp.zeros((D,) + shape, dtype), mu0=mu0,
-            mu1=jnp.zeros((D, D) + shape, dtype),
-            nu=jnp.asarray(nu, dtype))
+        # nu stays traced (not float()ed): whole-simulation differentiation
+        # builds Simulations under jacfwd with nu a tracer (`Flow{D,T}`
+        # Dual-typed fields, `src/Flow.jl:114-131`)
+        self.state = _init_state_jit(self.cfg, nu, u0)
         self.dt = [float(dt)]           # host-side Δt history (`Flow.jl:127`)
         self.pois_n: list[int] = []     # pressure iterations per projection
 

@@ -438,7 +438,9 @@ class DistSimulation:
             self.state, dt_next, iters, stats = step(self.state, self.levels,
                                                      dt, t0)
         self.sim.flow.dt.append(float(dt_next))
-        self.sim.flow.pois_n += [int(iters[0]), int(iters[1])]
+        import numpy as np
+
+        self.sim.flow.pois_n += np.asarray(iters).tolist()  # one host transfer
         self.solver_stats = stats
         return self
 

@@ -36,6 +36,58 @@ def _update_mg_jit(masks, mu0, perdir):
     return mg.update_mg(None, masks, mu0, perdir)
 
 
+@partial(jax.jit, static_argnames=("cfg", "eps_k", "masks", "flat", "has_body"))
+def _build_jit(body, state, t, cfg, eps_k, masks, flat, has_body):
+    """The whole device-side `Simulation` construction as ONE program: body
+    measure (`measure!`, `Body.jl:28-51`), MG coefficient stack (`update!`,
+    `MultiLevelPoisson.jl:79-86`), flat-layout conversion, and the BDIM band
+    bounds.  Eager construction dispatched ~290 separate device programs —
+    ~0.5 s tunnel round trip each on remote TPU backends."""
+    from .models import flowflat as ff
+    from .ops import flat as fo
+    from .ops import mgflat
+
+    if has_body:
+        V, mu0, mu1, _ = measure_fill(body, cfg.shape, t, eps_k, cfg.dtype,
+                                      cfg.perdir, cfg.exit_bc)
+        state = dataclasses.replace(state, V=V, mu0=mu0, mu1=mu1)
+    levels = mg.update_mg(None, masks, state.mu0, cfg.perdir)
+    if has_body and flat:
+        lo, hi = _band_rows(state.V, state.mu0, state.mu1, cfg.perdir)
+        band = jnp.stack([lo, hi])
+    else:
+        band = jnp.zeros((2,), jnp.int32)
+    if flat:
+        gm = fo.geom_of(cfg.shape)
+        fstate = ff.state_to_flat(state, gm)
+        fmg = mgflat._flatten_stack(levels, gm, masks)
+        return state, levels, band, fstate, fmg
+    return state, levels, band, None, None
+
+
+@partial(jax.jit, static_argnames=("cfg", "eps_k", "masks", "flat"))
+def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat):
+    """Fused moving-body re-measure (`measure!(sim)`, `WaterLily.jl:146-149`):
+    measure + MG re-restriction + flat-field refresh + band bounds in one
+    device program.  ``fstate`` is the authoritative flat state whose u/p are
+    left untouched (only V/μ0/μ1 refresh)."""
+    from .ops import mgflat
+    from .ops.flat import geom_of, to_flat
+
+    V, mu0, mu1, _ = measure_fill(body, cfg.shape, t, eps_k, cfg.dtype,
+                                  cfg.perdir, cfg.exit_bc)
+    levels = mg.update_mg(None, masks, mu0, cfg.perdir)
+    if flat:
+        lo, hi = _band_rows(V, mu0, mu1, cfg.perdir)
+        band = jnp.stack([lo, hi])
+        gm = geom_of(cfg.shape)
+        fmg = mgflat._flatten_stack(levels, gm, masks)
+        fstate = dataclasses.replace(fstate, V=to_flat(V, gm),
+                                     mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
+        return (V, mu0, mu1), levels, band, fstate, fmg
+    return (V, mu0, mu1), levels, jnp.zeros((2,), jnp.int32), None, None
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu", "gpu")
@@ -77,8 +129,7 @@ def check_fn(f, D: int, dtype, nargs: int, name: str) -> None:
                 f"{jnp.shape(out)} for i={i}")
 
 
-@partial(jax.jit, static_argnames=("perdir",))
-def _band_rows_jit(V, mu0, mu1, perdir=()):
+def _band_rows(V, mu0, mu1, perdir=()):
     """x rows (axis 1 of the 3D fields) whose INTERIOR cells deviate from the
     canonical far-field BDIM pattern: μ1 = 0, V = 0, and μ0 = 1 except the
     normal-face index-1 plane of each non-periodic direction, which the
@@ -102,6 +153,9 @@ def _band_rows_jit(V, mu0, mu1, perdir=()):
     lo = jnp.min(jnp.where(dev, ix, n + 1))
     hi = jnp.max(jnp.where(dev, ix + 1, 0))
     return lo, hi
+
+
+_band_rows_jit = partial(jax.jit, static_argnames=("perdir",))(_band_rows)
 
 
 _BAND_PAD = 4    # extra rows so a slowly-drifting body doesn't retrace
@@ -157,45 +211,49 @@ class Simulation:
                          dtype=dtype, tol=tol, itmx=itmx, **tuning)
         self.body = body if body is not None else NoBody()
         cfg = self.flow.cfg
-        if not isinstance(self.body, NoBody):
-            V, mu0, mu1, _ = _measure_jit(self.body, jnp.asarray(0.0, dtype),
-                                          cfg.shape, float(eps), cfg.dtype,
-                                          cfg.perdir, cfg.exit_bc)
-            self.flow.state = dataclasses.replace(self.flow.state,
-                                                  V=V, mu0=mu0, mu1=mu1)
         self.psolver = psolver
-        if psolver == "mg":
-            self.levels, self.masks = mg.make_mg(self.flow.state.mu0, cfg.perdir)
-            self.solve_fn = None
-        elif psolver == "pcg":
-            self.levels = (ps.make_level(self.flow.state.mu0),)
-            self.masks = ()
-            self.solve_fn = pcg_solve_fn
-        else:
-            raise ValueError(f"unknown psolver {psolver!r}")
         self.solver_stats = None   # last step's (2, itmx+1, 3) residual log
         # flat (x, y·z) layout engine: the 3D single-device TPU fast path
         # (`models.flowflat`); "auto" enables it for supported configs on TPU
         from .models import flowflat as ff
 
         self._flat = None
-        if engine == "flat" or (engine == "auto" and psolver == "mg"
-                                and ff.flat_supported(self.flow.cfg, g)
-                                and _on_tpu()):
-            if psolver != "mg" or not ff.flat_supported(self.flow.cfg, g):
-                raise ValueError("flat engine needs psolver='mg' and D=3")
-            from .ops import flat as fo
-            from .ops import mgflat
+        has_body = not isinstance(self.body, NoBody)
+        flat_on = (engine == "flat"
+                   or (engine == "auto" and psolver == "mg"
+                       and ff.flat_supported(cfg, g) and _on_tpu()))
+        if flat_on and (psolver != "mg" or not ff.flat_supported(cfg, g)):
+            raise ValueError("flat engine needs psolver='mg' and D=3")
+        if psolver == "mg":
+            # the whole device-side build (measure + MG stack + flat layout +
+            # band bounds) runs as ONE program — see `_build_jit`
+            self.masks = tuple(mg.level_shapes(cfg.shape)[1])
+            self.solve_fn = None
+            state, self.levels, band, fstate, fmg = _build_jit(
+                self.body if has_body else None, self.flow.state,
+                jnp.asarray(0.0, cfg.dtype), cfg, float(eps), self.masks,
+                flat_on, has_body)
+            self.flow.state = state
+            if flat_on:
+                from .ops import flat as fo
 
-            gm = fo.geom_of(self.flow.cfg.shape)
-            self._flat = {
-                "g": gm,
-                "state": ff.state_to_flat(self.flow.state, gm),
-                "fmg": mgflat._flatten_stack(self.levels, gm, self.masks),
-            }
-            self._flat_fresh = False   # flat state newer than flow._state?
-            self.flow._refresh = self._pull_flat
-        self._update_band()
+                self._flat = {"g": fo.geom_of(cfg.shape), "state": fstate,
+                              "fmg": fmg}
+                self._flat_fresh = False   # flat state newer than flow._state?
+                self.flow._refresh = self._pull_flat
+            self._set_band(band if (has_body and flat_on) else None)
+        elif psolver == "pcg":
+            if has_body:
+                V, mu0, mu1, _ = _measure_jit(self.body, jnp.asarray(0.0, dtype),
+                                              cfg.shape, float(eps), cfg.dtype,
+                                              cfg.perdir, cfg.exit_bc)
+                self.flow.state = dataclasses.replace(self.flow.state,
+                                                      V=V, mu0=mu0, mu1=mu1)
+            self.levels = (ps.make_level(self.flow.state.mu0),)
+            self.masks = ()
+            self.solve_fn = pcg_solve_fn
+        else:
+            raise ValueError(f"unknown psolver {psolver!r}")
 
     # ------------------------------------------------------------- time
     @property
@@ -212,30 +270,32 @@ class Simulation:
         """Pressure iterations per projection (reference `sim.pois.n`)."""
         return self.flow.pois_n
 
-    def _update_band(self):
+    def _set_band(self, band):
         """Maintain ``cfg.band_x`` — the static x-row interval with
         nontrivial BDIM moments — enabling the band-sparse BDIM kernel
-        (`ops.pallas_flat.bdim_band`).  The stored interval carries
-        ``_BAND_PAD`` slack rows so a slowly drifting body re-traces only
-        every few cells of travel; an escape widens it (correctness is never
-        at stake: outside the measured rows μ0 ≡ 1, μ1 ≡ 0, V ≡ 0 exactly)."""
-        if self._flat is None or isinstance(self.body, NoBody):
+        (`ops.pallas_flat.bdim_band`).  ``band`` is the (2,) device array of
+        raw [lo, hi) bounds computed inside the fused build/remeasure program
+        (`_band_rows`), or None when the band path is inactive.  The stored
+        interval carries ``_BAND_PAD`` slack rows so a slowly drifting body
+        re-traces only every few cells of travel; an escape widens it
+        (correctness is never at stake: outside the measured rows μ0 ≡ 1,
+        μ1 ≡ 0, V ≡ 0 exactly)."""
+        if band is None:
             return
-        st = self.flow.state
-        lo, hi = _band_rows_jit(st.V, st.mu0, st.mu1,
-                                perdir=self.flow.cfg.perdir)
-        lo, hi = int(lo), int(hi)
+        import numpy as np
+
+        lo, hi = (int(v) for v in np.asarray(band))   # one host sync
         cfg = self.flow.cfg
         cur = cfg.band_x
         if hi <= lo:
-            band = None
+            band_t = None
         else:
             Nx = cfg.shape[0]
             if cur is not None and cur[0] <= lo and hi <= cur[1]:
                 return   # raw bounds still inside the stored padded interval
-            band = (max(1, lo - _BAND_PAD), min(Nx - 1, hi + _BAND_PAD))
-        if band != cur:
-            self.flow.cfg = dataclasses.replace(cfg, band_x=band)
+            band_t = (max(1, lo - _BAND_PAD), min(Nx - 1, hi + _BAND_PAD))
+        if band_t != cur:
+            self.flow.cfg = dataclasses.replace(cfg, band_x=band_t)
 
     # ------------------------------------------------------------- stepping
     def measure(self, t: Optional[float] = None):
@@ -246,25 +306,27 @@ class Simulation:
         cfg = self.flow.cfg
         if t is None:
             t = self.time + self.flow.dt[-1]
-        V, mu0, mu1, _ = _measure_jit(self.body, jnp.asarray(t, cfg.dtype),
-                                      cfg.shape, float(self.eps), cfg.dtype,
-                                      cfg.perdir, cfg.exit_bc)
-        self.flow.state = dataclasses.replace(self.flow.state, V=V, mu0=mu0, mu1=mu1)
         if self.psolver == "mg":
-            self.levels = _update_mg_jit(self.masks, mu0, cfg.perdir)
+            # fused: measure + MG re-restriction + flat refresh + band bounds
+            # in ONE device program (`_remeasure_jit`)
+            flat_on = self._flat is not None
+            fstate = self._flat["state"] if flat_on else None
+            (V, mu0, mu1), self.levels, band, fstate, fmg = _remeasure_jit(
+                self.body, fstate, jnp.asarray(t, cfg.dtype), cfg,
+                float(self.eps), self.masks, flat_on)
+            self.flow._state = dataclasses.replace(self.flow._state,
+                                                   V=V, mu0=mu0, mu1=mu1)
+            if flat_on:
+                self._flat["state"] = fstate
+                self._flat["fmg"] = fmg
+                self._set_band(band)
         else:
+            V, mu0, mu1, _ = _measure_jit(self.body, jnp.asarray(t, cfg.dtype),
+                                          cfg.shape, float(self.eps), cfg.dtype,
+                                          cfg.perdir, cfg.exit_bc)
+            self.flow.state = dataclasses.replace(self.flow.state,
+                                                  V=V, mu0=mu0, mu1=mu1)
             self.levels = (ps.make_level(mu0),)
-        if self._flat is not None:
-            from .models import flowflat as ff
-            from .ops import mgflat
-
-            gm = self._flat["g"]
-            st = self._flat["state"]
-            self._flat["fmg"] = mgflat._flatten_stack(self.levels, gm, self.masks)
-            from .ops.flat import to_flat
-            self._flat["state"] = dataclasses.replace(
-                st, V=to_flat(V, gm), mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
-        self._update_band()
 
     def step_once(self, remeasure: bool = True, udf=None):
         """One `mom_step` (+ optional body re-measure), host bookkeeping of
@@ -292,7 +354,9 @@ class Simulation:
             self.flow.state = state
             self._sync_flat()
         self.flow.dt.append(float(dt_next))
-        self.flow.pois_n += [int(iters[0]), int(iters[1])]
+        import numpy as np
+
+        self.flow.pois_n += np.asarray(iters).tolist()   # one host transfer
         self.solver_stats = stats
         return self
 
@@ -382,8 +446,10 @@ class Simulation:
                                                         self.levels, dt, t0)
             self.flow.state = state
             self._sync_flat()
-        self.flow.dt.extend(float(v) for v in dts)
-        self.flow.pois_n.extend(int(v) for v in iters.reshape(-1))
+        import numpy as np
+
+        self.flow.dt.extend(np.asarray(dts).tolist())    # one host transfer
+        self.flow.pois_n.extend(np.asarray(iters).reshape(-1).tolist())
         self.solver_stats = stats[-1]
         return self
 
