@@ -60,6 +60,8 @@ def main():
         "nb_fs2": dict(band_x=None, fine_smooth_it=2),
         "band_fs2": dict(fine_smooth_it=2),
         "band_fused": dict(fused_pc=True),
+        "band_fs3": dict(fine_smooth_it=3),
+        "band_si3": dict(smooth_it=3),
     }
     probe = jax.jit(lambda st: st.u.reshape(-1)[0])
     for name in variants:
