@@ -71,9 +71,31 @@ def stress(N: int, reps: int = 6) -> int:
     mu1_b = mu1 * inb
     V_b = V * inb
 
+    u0f = mk3(ks[8])
+
+    def cheap_ref(kb, sc):
+        # band-exterior half-step reference: `bdim_band` with an empty band
+        # is the pure-jnp far-field update; then `scale_u!`
+        f = _jnp(ff.conv_diff_flat, u, fl.quick, nu, g)
+        pre = u if kb else _jnp(ff._scale_interior_flat, u, 0.0, g)
+        ch = plf.bdim_band(pre, u0f, f, 0.0 * V, 0.0 * mu0, 0.0 * mu1, dt,
+                           g, (1, 1))
+        if sc != 1.0:
+            ch = _jnp(ff._scale_interior_flat, ch, sc, g)
+        return ch, f
+
     cases = {
         "conv_diff_k": (lambda: plf.conv_diff_k(u, nu, fl.quick, g),
                         lambda: _jnp(ff.conv_diff_flat, u, fl.quick, nu, g)),
+        "conv_cheap_p": (lambda: plf.conv_diff_k(u, nu, fl.quick, g,
+                                                 cheap=(u0f, dt, 0.0, 1.0)),
+                         lambda: cheap_ref(0.0, 1.0)),
+        "conv_cheap_c": (lambda: plf.conv_diff_k(u, nu, fl.quick, g,
+                                                 cheap=(u0f, dt, 1.0, 0.5)),
+                         lambda: cheap_ref(1.0, 0.5)),
+        "gs_incr(3)": (lambda: plf.gs_incr(x, r, L, D, iD, colors[:3], om, g),
+                       lambda: _jnp(fo.gauss_seidel_rb_flat, L, D, iD, x, r,
+                                    g, 3, om)),
         "bdim_k": (lambda: plf.bdim_k(u, u, u, V, mu0, mu1, dt, g),
                    lambda: _jnp(ff.bdim_flat, u, u, u, V, mu0, mu1, dt, g)),
         "bdim_band": (lambda: plf.bdim_band(u, u, u, V_b, mu0_b, mu1_b, dt,

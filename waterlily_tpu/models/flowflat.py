@@ -242,6 +242,26 @@ def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
         return plf.pred_corr_k(u_adv, u_base, u0, state.V, state.mu0,
                                state.mu1, dt, state.nu, cfg.scheme,
                                keep_base, scale, g)
+    # fused conv_diff + band-exterior update: both `mom_step!` phases call
+    # with u_adv == u_base, so the far-field BDIM (μ₀=1, μ₁=0, V=0) plus
+    # interior scaling lands in the convection kernel's output pass and only
+    # the body's x-slab runs the full μ-weighted update (`bdim_band` split)
+    if (plf.use_pallas_flat(u_adv) and plain and cfg.band_x is not None
+            and u_adv is u_base):
+        u, f = plf.conv_diff_k(u_adv, state.nu, cfg.scheme, g,
+                               cheap=(u0, dt, float(keep_base), float(scale)))
+        lo, hi = cfg.band_x
+        if hi > lo:
+            sl = slice(lo - 1, hi + 1)
+            gs = geom_of((hi - lo + 2, g.Ny, g.Nz))
+            m_s = inside_mask_flat(gs, (hi - lo + 2, g.S, 128), u.dtype)
+            u_pre = u_base[:, sl] if keep_base else u_base[:, sl] * (1.0 - m_s)
+            slab = plf.bdim_k(u_pre, u0[:, sl], f[:, sl], state.V[:, sl],
+                              state.mu0[:, sl], state.mu1[:, :, sl], dt, gs)
+            if scale != 1.0:
+                slab = slab * (1.0 + (scale - 1.0) * m_s)
+            u = u.at[:, lo:hi].set(slab[:, 1:-1])
+        return u
     f = conv_diff_flat(u_adv, cfg.scheme, state.nu, g, cfg.perdir, ctx)
     if udf is not None:
         u_into = u_base if keep_base else _scale_interior_flat(u_base, 0.0, g)

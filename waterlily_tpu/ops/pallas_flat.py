@@ -286,7 +286,8 @@ def _fix_ghost_rows(out: jax.Array, val0, val1) -> jax.Array:
 
 
 # ---------------------------------------------------------------- conv_diff
-def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom) -> jax.Array:
+def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
+                cheap=None):
     """Fused convective-diffusive RHS (`conv_diff!`, `src/Flow.jl:38-62`)
     for all 3 components, non-periodic, with the boundary-slab flux fixes
     applied in-kernel:
@@ -297,19 +298,35 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom) -> jax.Array:
         r_i[I] = Σ_j Φ_j[I] − Φ_j[I+e_j]      (interior; ghosts zero)
 
     (the jdx==1 / jdx==n−1 branches are `ϕuL`/`ϕuR`, `src/Flow.jl:56-57`).
+
+    With ``cheap=(u0, dt, keep_base, scale)`` the kernel additionally emits
+    the band-exterior half-step update in the same pass (u_adv doubles as
+    u_base — true for both `mom_step!` phases):
+
+        out_i = interior ? scale·(keep_base·u_adv + mmᵢ·(u0 + dt·r_i))
+                         : u_adv                        (mmᵢ: face-1 plane 0)
+
+    i.e. BDIM with the far-field moments (μ₀ = mmᵢ, μ₁ = 0, V = 0) plus the
+    interior scaling of `scale_u!` — exactly `models.flowflat.bdim_band`'s
+    "cheap" branch fused with the convection pass, saving the f round-trip
+    and a full-field XLA pass per half-step.  Returns ``(u_new, f)``; the
+    body-band x-slab still needs the full BDIM run on ``f``.
     """
     Nx, S = g.Nx, g.S
     h = 2
     yv, zv, ins = _planes(g)
     steps = (None, g.Nz, 1)
+    fused = cheap is not None
 
     def body(win, aux, scalars, ox, cos, bx):
         nu_s = scalars[0]
+        if fused:
+            dt_s, kb, sc = scalars[1], scalars[2], scalars[3]
         yv, zv, ins = aux
         co = cos[0]
 
         def inner(phi_ref):
-            outs = []
+            outs_u, outs_f = [], []
             gx_c = jax.lax.broadcasted_iota(jnp.int32, (bx, S, 128), 0) + ox
             for i in range(3):
                 fw = win[i][:]
@@ -350,17 +367,37 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom) -> jax.Array:
                 # interior mask: zero r at ghosts (reference `a.f .= 0` +
                 # inside_u-only writes, `src/Flow.jl:44,190`)
                 m = ins * jnp.where((gx_c >= 1) & (gx_c <= Nx - 2), 1.0, 0.0)
-                outs.append(ri * m)
-            return outs
+                fi = ri * m
+                outs_f.append(fi)
+                if fused:
+                    face = (gx_c if i == 0
+                            else (yv if i == 1 else zv).astype(jnp.int32))
+                    mm = jnp.where(face == 1, 0.0, 1.0)
+                    ub_c = win[i][pl.ds(co, bx)]
+                    u0_c = win[3 + i][:]
+                    upd = sc * (kb * ub_c + mm * (u0_c + dt_s * fi))
+                    outs_u.append(m * upd + (1.0 - m) * ub_c)
+            return outs_u + outs_f
 
         return pl.run_scoped(inner, pltpu.VMEM(win[0].shape, jnp.float32))
 
-    call = _halo_call(body, Nx, S, n_scalar=1, halos=[h, h, h], n_aux=3,
-                      n_out=3, bx=8, pipeline=True)
+    halos = [h, h, h] + ([0, 0, 0] if fused else [])
+    call = _halo_call(body, Nx, S, n_scalar=4 if fused else 1, halos=halos,
+                      n_aux=3, n_out=6 if fused else 3, bx=8, pipeline=True,
+                      vmem_mb=128 if fused else 100)
     nu1 = jnp.asarray(nu, jnp.float32).reshape(1, 1)
-    r = call([nu1], [u[0], u[1], u[2]], _planes(g))
     zrow = jnp.zeros((1, S, 128), jnp.float32)
-    return jnp.stack([_fix_ghost_rows(rk, zrow, zrow) for rk in r])
+    if not fused:
+        r = call([nu1], [u[0], u[1], u[2]], _planes(g))
+        return jnp.stack([_fix_ghost_rows(rk, zrow, zrow) for rk in r])
+    u0, dt, keep_base, scale = cheap
+    scal = [nu1] + [jnp.asarray(v, jnp.float32).reshape(1, 1)
+                    for v in (dt, keep_base, scale)]
+    outs = call(scal, [u[0], u[1], u[2], u0[0], u0[1], u0[2]], _planes(g))
+    u_new = jnp.stack([_fix_ghost_rows(o, u[i][0:1], u[i][-1:])
+                       for i, o in enumerate(outs[:3])])
+    f = jnp.stack([_fix_ghost_rows(o, zrow, zrow) for o in outs[3:]])
+    return u_new, f
 
 
 # ------------------------------------------------- fused predictor/corrector
@@ -574,17 +611,19 @@ def _gauss_cascade(rr, idw, Ls, eps, colors, par, ins, g: FlatGeom):
 
 
 def _gs_bx(S: int, h: int) -> int:
-    """Largest row-block size whose windows + register-spill slots fit VMEM.
-    The cascade keeps ~19 full-window temporaries live (measured from the
-    XLA OOM report at 256^3: 101MB spill for (20, 528, 128) windows), plus
-    6 scratch windows — model ~25 window-rows of live state, budget 110MB
-    with the VMEM limit raised to 128MB (at 256^3/it=4 this selects bx=6:
-    measured 4.77 ms vs 7.1 at bx=4, and bx=8 regresses to 5.7 — spills
-    start thrashing)."""
+    """Largest row-block size whose windows + live slice temporaries fit
+    VMEM.  The slice-cascade keeps the 5 scratch windows + r/iD/L windows
+    (~10 window-heights) plus ~8 block-height temporaries live — model
+    18·bx + 32·h window-rows, budget 110MB with the VMEM limit raised to
+    128MB (at 256³/it=4 this selects bx=12 vs the round-1 full-recompute
+    form's bx=6).  Override with WLTPU_GS_BX for hardware sweeps."""
+    env = os.environ.get("WLTPU_GS_BX")
+    if env:
+        return int(env)
     per_row = S * 128 * 4
     best = 4
     for bx in (6, 8, 12, 16, 24, 32):
-        if 25 * (bx + 2 * h) * per_row <= 110 * 1024 * 1024:
+        if (18 * bx + 32 * h) * per_row <= 110 * 1024 * 1024:
             best = bx
     return best
 
@@ -597,6 +636,16 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
 
         x += ω·eps,  r −= ω·A·eps   on its center rows.
 
+    The cascade runs in-place on a VMEM scratch with per-sweep row slices
+    [s_k, s_k+W−k−2): sweep k only rewrites rows that are still valid
+    (validity shrinks one row per sweep from each window cut, exactly the
+    h = it+1 halo rule), replacing the round-1 full-window recompute + two
+    x-row rotate copies per sweep — ~40% less VPU work and a smaller live
+    set, so `_gs_bx` doubles the block size.  Re-sweeping an already-valid
+    row is idempotent (a red cell's update reads only black neighbors), so
+    the uniform slice size is safe at clamped edge blocks where ``s_k``
+    shifts to keep reads in-bounds.
+
     ``colors == []`` degenerates to the fused Jacobi smoother."""
     Nx, S = g.Nx, g.S
     it = len(colors)
@@ -607,16 +656,43 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
         yv, zv, ins = aux
         xw, rw, idw_w, dw, l0w, l1w, l2w = win
         co = cos[1]
-        rr, idw = rw[:], idw_w[:]
-        Ls = [l0w[:], l1w[:], l2w[:]]
-        gx = jax.lax.broadcasted_iota(jnp.int32, rr.shape, 0) + (ox - co)
-        insw = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
-        par = (gx.astype(jnp.float32) + yv + zv) % 2.0
-        eps = rr * idw * insw
-        eps = _gauss_cascade(rr, idw, Ls, eps, colors, par, insw, g)
+        W = rw.shape[0]
+        # slice-cascade needs per-sweep slack rows; tiny/whole-domain windows
+        # (coarse MG levels) keep the full-window recompute form
+        sliced = it > 0 and W < Nx and W - it - 2 >= bx
 
-        def inner(e_ref):
-            e_ref[:] = eps
+        def inner(e_ref, l1s_ref, l2s_ref, par_ref, ins_ref):
+            gx = jax.lax.broadcasted_iota(jnp.int32, (W, S, 128), 0) \
+                + (ox - co)
+            insw = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
+            e_ref[:] = rw[:] * idw_w[:] * insw
+            if sliced:
+                ins_ref[:] = insw
+                par_ref[:] = (gx.astype(jnp.float32) + yv + zv) % 2.0
+                l1s_ref[:] = _pshift(l1w[:], g.Nz)
+                l2s_ref[:] = _pshift(l2w[:], 1)
+                ws = ox - co       # window start row; 0 ⇔ bottom is the
+                for k, color in enumerate(colors):     # domain edge
+                    n = W - k - 2
+                    s = jnp.where(ws == 0, 1, k + 1)
+                    e_c = e_ref[pl.ds(s, n)]
+                    sv = rw[pl.ds(s, n)]
+                    sv = sv - (e_ref[pl.ds(s - 1, n)] * l0w[pl.ds(s, n)]
+                               + e_ref[pl.ds(s + 1, n)] * l0w[pl.ds(s + 1, n)])
+                    sv = sv - (_pshift(e_c, -g.Nz) * l1w[pl.ds(s, n)]
+                               + _pshift(e_c, g.Nz) * l1s_ref[pl.ds(s, n)])
+                    sv = sv - (_pshift(e_c, -1) * l2w[pl.ds(s, n)]
+                               + _pshift(e_c, 1) * l2s_ref[pl.ds(s, n)])
+                    insl = ins_ref[pl.ds(s, n)]
+                    e_ref[pl.ds(s, n)] = jnp.where(
+                        (par_ref[pl.ds(s, n)] == float(color)) & (insl > 0),
+                        sv * idw_w[pl.ds(s, n)], e_c)
+            elif it > 0:
+                rr, idw = rw[:], idw_w[:]
+                Ls = [l0w[:], l1w[:], l2w[:]]
+                par = (gx.astype(jnp.float32) + yv + zv) % 2.0
+                e_ref[:] = _gauss_cascade(rr, idw, Ls, e_ref[:], colors, par,
+                                          insw, g)
             e_c = e_ref[pl.ds(co, bx)]
             aeps = e_c * dw[:]
             aeps = aeps + e_ref[pl.ds(co - 1, bx)] * l0w[pl.ds(co, bx)] \
@@ -631,7 +707,8 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
             r_new = rw[pl.ds(co, bx)] - om * aeps * mc
             return [x_new, r_new]
 
-        return pl.run_scoped(inner, pltpu.VMEM(rr.shape, jnp.float32))
+        scr = pltpu.VMEM((W, S, 128), jnp.float32)
+        return pl.run_scoped(inner, scr, scr, scr, scr, scr)
 
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, h, h, 0, h, h, h],
                       n_aux=3, n_out=2, bx=_gs_bx(S, h), vmem_mb=128)
