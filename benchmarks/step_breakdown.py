@@ -56,6 +56,7 @@ def main():
     from waterlily_tpu.models import flowflat as ffm
     from waterlily_tpu.ops import flat as fo
     from waterlily_tpu.ops import mgflat
+    from waterlily_tpu.ops import multigrid as mg3
     from waterlily_tpu.ops import pallas_flat as plf
 
     if jax.default_backend() == "cpu":
@@ -80,6 +81,7 @@ def main():
 
     u, p = state.u, state.p
     z = jax.jit(lambda u: fo.div_flat(u, g))(u)
+    gc1 = mgflat._level_geoms(g, tuple(masks))[1]  # first coarse level
 
     cases = [
         ("conv_diff", lambda u, nu: plf.conv_diff_k(u, nu, cfg.scheme, g),
@@ -109,9 +111,26 @@ def main():
          mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
                               itmx=cfg.itmx, smooth_it=cfg.smooth_it,
                               unroll=0), (fmg, p * dt, z)),
+        # V-cycle sub-phases (fine level) — attribute the solve budget
+        ("jacobi_fine", lambda f, x, r:
+         fo.jacobi_flat(f.L, f.D, f.iD, x, r, g, it=1, omega=jnp.float32(1.0)),
+         (fmg.fine, p, z)),
+        ("restrict_t", lambda r:
+         fo.to_flat(mg3.restrict(fo.from_flat(r, g), masks[0]), gc1), (z,)),
+        ("prolong+inc", lambda f, x, r, xc:
+         fo.increment_flat(
+             f.L, f.D, x, r,
+             fo.to_flat(mg3.prolongate(fo.from_flat(xc, gc1), masks[0]), g),
+             jnp.float32(0.8), g),
+         (fmg.fine, p, z, jnp.zeros((gc1.Nx, gc1.S, 128), jnp.float32))),
+        ("norms", lambda r: fo.norms_flat(r), (z,)),
         ("div+bc+cfl", lambda u: (fo.div_flat(u, g),
                                   fo.bc_vector_flat(u, cfg.ubc, g),
                                   fo.cfl_flat(u, state.nu, g)), (u,)),
+        ("bc_div_k", lambda u: plf.bc_div_k(u, cfg.ubc, g), (u,)),
+        ("projbc_k", lambda u, x, f:
+         plf.projbc_k(u, x, f.L, cfg.ubc, g, save_exit=False, want_cfl=True),
+         (u, p, fmg.fine)),
         ("step", lambda state, fmg, dt:
          ffm.mom_step_flat_impl(cfg, state, fmg, masks, g, dt,
                                 jnp.float32(0.0)), (state, fmg, dt)),

@@ -62,10 +62,24 @@ def main():
         "band_fused": dict(fused_pc=True),
         "band_fs3": dict(fine_smooth_it=3),
         "band_si3": dict(smooth_it=3),
+        "band_si4": dict(smooth_it=4),
     }
+    # env-flag variants (read at trace time): name suffixes after '+'
+    # e.g. "band+share" sets WLTPU_CONV_SHARE=1, "band+bx8" sets WLTPU_GS_BX=8
     probe = jax.jit(lambda st: st.u.reshape(-1)[0])
     for name in variants:
-        cfg = dataclasses.replace(base_cfg, **mods[name])
+        base_name, *envs = name.split("+")
+        os.environ.pop("WLTPU_CONV_SHARE", None)
+        os.environ.pop("WLTPU_GS_BX", None)
+        os.environ.pop("WLTPU_GS_PIPE", None)
+        for e in envs:
+            if e == "share":
+                os.environ["WLTPU_CONV_SHARE"] = "1"
+            elif e == "pipe":
+                os.environ["WLTPU_GS_PIPE"] = "1"
+            elif e.startswith("bx"):
+                os.environ["WLTPU_GS_BX"] = e[2:]
+        cfg = dataclasses.replace(base_cfg, **mods[base_name])
 
         @jax.jit
         def step(state, fmg, dt):

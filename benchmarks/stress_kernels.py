@@ -40,6 +40,16 @@ def _jnp(fn, *a, **kw):
         plf._IN_LOOP = False
 
 
+def _cfl_field(u, g):
+    """The pre-reduction CFL summand field (`cfl_flat` without the max)."""
+    import jax.numpy as jnp
+    s = jnp.zeros(u.shape[1:], u.dtype)
+    for i, st in ((0, None), (1, g.Nz), (2, 1)):
+        up = fo.xshift(u[i], 1) if st is None else fo.fshift(u[i], st)
+        s = s + jnp.maximum(0.0, up) + jnp.maximum(0.0, -u[i])
+    return fo.zero_ghost_flat(s, g)
+
+
 def stress(N: int, reps: int = 6) -> int:
     g = fo.geom_of((N + 2, N + 2, N + 2))
     ks = jax.random.split(jax.random.PRNGKey(0), 9)
@@ -114,6 +124,16 @@ def stress(N: int, reps: int = 6) -> int:
                         lambda: _jnp(fo.increment_flat, L, D, x, r, eps, om, g)),
         "bc_k": (lambda: plf.bc_k(u, (1.0, 0.0, 0.0), g, False),
                  lambda: _jnp(fo.bc_vector_flat, u, (1.0, 0.0, 0.0), g, False)),
+        "bc_div_k": (lambda: plf.bc_div_k(u, (1.0, 0.0, 0.0), g, False),
+                     lambda: (lambda ub: (ub, _jnp(fo.div_flat, ub, g)))(
+                         _jnp(fo.bc_vector_flat, u, (1.0, 0.0, 0.0), g,
+                              False))),
+        "projbc_k": (lambda: plf.projbc_k(u, x, L, (1.0, 0.0, 0.0), g,
+                                          False, True),
+                     lambda: (lambda un: (un, _jnp(_cfl_field, un, g)))(
+                         _jnp(fo.bc_vector_flat,
+                              _jnp(fo.proj_correct_flat, u, x, L, g),
+                              (1.0, 0.0, 0.0), g, False))),
     }
     fails = 0
     for name, (kf, rf) in cases.items():

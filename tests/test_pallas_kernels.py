@@ -123,6 +123,47 @@ def test_div_k():
     assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-6)
 
 
+@pytest.mark.parametrize("save_exit", [False, True])
+def test_bc_div_k(save_exit):
+    # fused BC! + divergence == bc_vector_flat then div_flat
+    g, u, *_ = _fields()
+    ubc = (1.0, 0.25, -0.5)
+    got_u, got_d = plf.bc_div_k(u, ubc, g, save_exit)
+    plf._INTERPRET = False
+    want_u = fo.bc_vector_flat(u, ubc, g, save_exit)
+    want_d = fo.div_flat(want_u, g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=2e-6)
+    assert np.allclose(np.asarray(got_d), np.asarray(want_d), atol=4e-6)
+
+
+@pytest.mark.parametrize("save_exit,want_cfl",
+                         [(False, False), (True, False), (False, True)])
+def test_projbc_k(save_exit, want_cfl):
+    # fused projection correction + BC! [+ CFL summand] vs the composed ops
+    g, u, x, r, L, D, iD, ks = _fields()
+    ubc = (1.0, 0.25, -0.5)
+    got = plf.projbc_k(u, x, L, ubc, g, save_exit, want_cfl)
+    plf._INTERPRET = False
+    want_u = fo.bc_vector_flat(fo.proj_correct_flat(u, x, L, g), ubc, g,
+                               save_exit)
+    plf._INTERPRET = True
+    if want_cfl:
+        got_u, got_s = got
+        plf._INTERPRET = False
+        s = jnp.zeros(want_u.shape[1:], want_u.dtype)
+        for i, st in ((0, None), (1, g.Nz), (2, 1)):
+            up = (fo.xshift(want_u[i], 1) if st is None
+                  else fo.fshift(want_u[i], st))
+            s = s + jnp.maximum(0.0, up) + jnp.maximum(0.0, -want_u[i])
+        want_s = fo.zero_ghost_flat(s, g)
+        plf._INTERPRET = True
+        assert np.allclose(np.asarray(got_s), np.asarray(want_s), atol=4e-6)
+    else:
+        got_u = got
+    assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=4e-6)
+
+
 @pytest.mark.parametrize("mode", ["predictor", "corrector"])
 def test_pred_corr_k(mode):
     # fused conv_diff + BDIM + interior scale vs the composed reference ops

@@ -103,8 +103,10 @@ def test_accelerating_circle_added_mass():
     radius, H = 32, 16
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - H * radius) ** 2)) - radius)
     ubc = lambda i, x, t: jnp.where(i == 0, t, jnp.zeros_like(t))
+    # smooth_it=4 pins the reference smoother strength the <=2-iteration
+    # cap was measured with (`GaussSeidelRB!` it=4; TPU default is 3)
     sim = Simulation((2 * H * radius, 2 * H * radius), ubc, radius, U=1,
-                     body=body, dtype=F32)
+                     body=body, dtype=F32, smooth_it=4)
     sim.sim_step()
     force = np.array(pressure_force(sim.flow.state.p, sim.body, sim.time))
     force = force / (np.pi * sim.L**2)
@@ -124,7 +126,8 @@ def test_semicoarsening_channel():
     R = H // 4
     ctr = jnp.asarray([4 * H, H // 2], F32)
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R)
-    sim = Simulation((8 * H, H), (1.0, 0.0), R, nu=R / 100, body=body, dtype=F32)
+    sim = Simulation((8 * H, H), (1.0, 0.0), R, nu=R / 100, body=body,
+                     dtype=F32, smooth_it=4)
     for _ in range(4):
         sim.sim_step(remeasure=False)
     assert all(n <= 10 for n in sim.pois_n)
@@ -137,7 +140,7 @@ def test_semicoarsening_duct():
     ctr = jnp.asarray([4 * H, H / 2, H / 2], F32)
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - R)
     sim = Simulation((8 * H, H, H), (1.0, 0.0, 0.0), R, nu=R / 100, body=body,
-                     dtype=F32)
+                     dtype=F32, smooth_it=4)
     for _ in range(4):
         sim.sim_step(remeasure=False)
     assert all(n <= 12 for n in sim.pois_n)

@@ -175,21 +175,44 @@ def _scale_interior_flat(u: jax.Array, s, g: FlatGeom) -> jax.Array:
     return u * (1.0 + (s - 1.0) * m)
 
 
+def _kernel_bc_ok(cfg: FlowCfg, u, ctx) -> bool:
+    """The fused BC-epilogue kernels cover the same configs as `bc_k`."""
+    from ..ops import pallas_flat as plf
+
+    return (plf.use_pallas_flat(u) and not cfg.perdir
+            and not callable(cfg.ubc) and ctx is None)
+
+
 def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0,
-                  ctx=None, ctx3=None, n_dist: int = 0):
-    """`mom_project!` (`src/Flow.jl:223-232`) on flat fields."""
-    z = div_flat(u, g)
+                  ctx=None, ctx3=None, n_dist: int = 0, z=None,
+                  want_cfl: bool = False):
+    """`mom_project!` (`src/Flow.jl:223-232`) on flat fields.  ``z`` may be
+    supplied by the fused BC+div kernel; with ``want_cfl`` the projection
+    tail also emits the CFL summand field (`projbc_k`)."""
+    from ..ops import pallas_flat as plf
+
+    if z is None:
+        z = div_flat(u, g)
     x = p * dt_w
     res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
                                itmx=cfg.itmx, smooth_it=cfg.smooth_it,
                                unroll=cfg.mg_unroll, perdir=cfg.perdir,
                                ctx=ctx, ctx3=ctx3, n_dist=n_dist,
                                fine_smooth_it=cfg.fine_smooth_it)
-    u = proj_correct_flat(u, res.x, fmg.fine.L, g)
     p = res.x / dt_w
-    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
-                       perdir=cfg.perdir, t=t, ctx=ctx, ctx3=ctx3)
-    return u, p, res.iters, res.stats
+    s_cfl = None
+    if _kernel_bc_ok(cfg, u, ctx):
+        out = plf.projbc_k(u, res.x, fmg.fine.L, cfg.ubc, g,
+                           save_exit=cfg.exit_bc, want_cfl=want_cfl)
+        if want_cfl:
+            u, s_cfl = out
+        else:
+            u = out
+    else:
+        u = proj_correct_flat(u, res.x, fmg.fine.L, g)
+        u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
+                           perdir=cfg.perdir, t=t, ctx=ctx, ctx3=ctx3)
+    return u, p, res.iters, res.stats, s_cfl
 
 
 def accelerate_flat(f: jax.Array, t, cfg: FlowCfg, g: FlatGeom,
@@ -281,25 +304,40 @@ def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
     """One full time step on flat state (`mom_step!`, `src/Flow.jl:156-167`).
     ``ctx`` (1-dim flat x ctx) / ``ctx3`` (3-dim) / ``n_dist`` select the
     x-decomposed shard_map variant (`parallel.dist.DistFlat`)."""
+    from ..ops import pallas_flat as plf
+
     t1 = t0 + dt
     u0 = state.u
     state = dataclasses.replace(state, u0=u0)
+    fuse_bc = _kernel_bc_ok(cfg, u0, ctx) and not cfg.exit_bc
+
+    def _bc_div(u):
+        """post-half-step BC (+ divergence, fused when kernel-eligible)."""
+        if fuse_bc:
+            return plf.bc_div_k(u, cfg.ubc, g, save_exit=False)
+        u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
+                           perdir=cfg.perdir, t=t1, ctx=ctx, ctx3=ctx3)
+        return u, None
+
     # predictor (`Flow.jl:157-161`)
     u = _half_step(u0, u0, u0, state, cfg, dt, t0, 0.0, 1.0, g, udf, ctx, ctx3)
-    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
-                       perdir=cfg.perdir, t=t1, ctx=ctx, ctx3=ctx3)
+    u, z = _bc_div(u)
     if cfg.exit_bc:
         u = exit_bc_flat(u, u0, dt, g, ctx)
-    u, p, n1, s1 = _project_flat(u, state.p, fmg, masks, dt, cfg, g, t1,
-                                 ctx, ctx3, n_dist)
+    u, p, n1, s1, _ = _project_flat(u, state.p, fmg, masks, dt, cfg, g, t1,
+                                    ctx, ctx3, n_dist, z=z)
     # corrector (`Flow.jl:163-165`)
     u = _half_step(u, u, u0, state, cfg, dt, t1, 1.0, 0.5, g, udf, ctx, ctx3)
-    u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
-                       perdir=cfg.perdir, t=t1, ctx=ctx, ctx3=ctx3)
-    u, p, n2, s2 = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g, t1,
-                                 ctx, ctx3, n_dist)
+    u, z = _bc_div(u)
+    u, p, n2, s2, s_cfl = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g,
+                                        t1, ctx, ctx3, n_dist, z=z,
+                                        want_cfl=_kernel_bc_ok(cfg, u, ctx))
     state = dataclasses.replace(state, u=u, p=p)
-    dt_next = cfl_flat(u, state.nu, g, ctx=ctx)
+    if s_cfl is not None:
+        dt_next = jnp.minimum(jnp.asarray(10.0, u.dtype),
+                              1.0 / (jnp.max(s_cfl) + 5 * state.nu))
+    else:
+        dt_next = cfl_flat(u, state.nu, g, ctx=ctx)
     return state, dt_next, jnp.stack([n1, n2]), jnp.stack([s1, s2])
 
 

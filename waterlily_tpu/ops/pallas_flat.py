@@ -317,6 +317,10 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
     yv, zv, ins = _planes(g)
     steps = (None, g.Nz, 1)
     fused = cheap is not None
+    # shift sharing: f_m1 of flux (i,j) is also uadv's ingredient in flux
+    # (j,i) — hoisting the 9 −1-shifts saves ~20% of the kernel's VPU shift
+    # work at the cost of 9 live window temporaries (measured switch)
+    share = os.environ.get("WLTPU_CONV_SHARE", "0") == "1"
 
     def body(win, aux, scalars, ox, cos, bx):
         nu_s = scalars[0]
@@ -328,26 +332,32 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
         def inner(phi_ref):
             outs_u, outs_f = [], []
             gx_c = jax.lax.broadcasted_iota(jnp.int32, (bx, S, 128), 0) + ox
+            um1 = None
+            if share:
+                um1 = [[_rshift(win[i][:], -1), _pshift(win[i][:], -g.Nz),
+                        _pshift(win[i][:], -1)] for i in range(3)]
             for i in range(3):
                 fw = win[i][:]
                 ri = jnp.zeros((bx, S, 128), jnp.float32)
                 for j in range(3):
                     st = steps[j]
                     if st is None:
-                        f_m1 = _rshift(fw, -1)
+                        f_m1 = um1[i][0] if share else _rshift(fw, -1)
                         f_m2 = _rshift(fw, -2)
                         f_p1 = _rshift(fw, 1)
                         jf = (jax.lax.broadcasted_iota(jnp.int32, fw.shape, 0)
                               + (ox - co))
                         n_j = Nx
                     else:
-                        f_m1 = _pshift(fw, -st)
+                        f_m1 = um1[i][j] if share else _pshift(fw, -st)
                         f_m2 = _pshift(fw, -2 * st)
                         f_p1 = _pshift(fw, st)
                         jf = yv if j == 1 else zv
                         n_j = g.Ny if j == 1 else g.Nz
                     uj = win[j][:]
-                    if i == 0:
+                    if share:
+                        uadv = 0.5 * (uj + um1[j][i])
+                    elif i == 0:
                         uadv = 0.5 * (uj + _rshift(uj, -1))
                     else:
                         uadv = 0.5 * (uj + _pshift(uj, -steps[i]))
@@ -612,18 +622,18 @@ def _gauss_cascade(rr, idw, Ls, eps, colors, par, ins, g: FlatGeom):
 
 def _gs_bx(S: int, h: int) -> int:
     """Largest row-block size whose windows + live slice temporaries fit
-    VMEM.  The slice-cascade keeps the 5 scratch windows + r/iD/L windows
-    (~10 window-heights) plus ~8 block-height temporaries live — model
-    18·bx + 32·h window-rows, budget 110MB with the VMEM limit raised to
-    128MB (at 256³/it=4 this selects bx=12 vs the round-1 full-recompute
-    form's bx=6).  Override with WLTPU_GS_BX for hardware sweeps."""
+    VMEM.  Model 24·bx + 32·h window-rows ≤ 100MB, calibrated on hardware
+    at 256³/it=3 (S=528): bx=16 needs 141.5MB scoped VMEM (compile fails at
+    the 128MB limit), bx=8 pipelined fits and is the measured optimum
+    (3.49 ms vs 4.82 unpipelined, 5.1 full-recompute, 6.9 round-1 it=4) —
+    see `benchmarks/gs_sweep.py`.  Override with WLTPU_GS_BX."""
     env = os.environ.get("WLTPU_GS_BX")
     if env:
         return int(env)
     per_row = S * 128 * 4
     best = 4
     for bx in (6, 8, 12, 16, 24, 32):
-        if (18 * bx + 32 * h) * per_row <= 110 * 1024 * 1024:
+        if (24 * bx + 32 * h) * per_row <= 100 * 1024 * 1024:
             best = bx
     return best
 
@@ -658,8 +668,11 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
         co = cos[1]
         W = rw.shape[0]
         # slice-cascade needs per-sweep slack rows; tiny/whole-domain windows
-        # (coarse MG levels) keep the full-window recompute form
-        sliced = it > 0 and W < Nx and W - it - 2 >= bx
+        # (coarse MG levels) keep the full-window recompute form.
+        # WLTPU_GS_SLICED=0 forces the full-recompute form (hardware sweeps;
+        # the slice form's dynamic VMEM slices register-spill at large S)
+        sliced = (it > 0 and W < Nx and W - it - 2 >= bx
+                  and os.environ.get("WLTPU_GS_SLICED", "1") == "1")
 
         def inner(e_ref, l1s_ref, l2s_ref, par_ref, ins_ref):
             gx = jax.lax.broadcasted_iota(jnp.int32, (W, S, 128), 0) \
@@ -710,8 +723,14 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
         scr = pltpu.VMEM((W, S, 128), jnp.float32)
         return pl.run_scoped(inner, scr, scr, scr, scr, scr)
 
+    # pipelining doubles the 7 window buffers but overlaps their DMA with
+    # the cascade — measured 28% faster at 256³ (3.49 vs 4.82 ms, bx=8) and
+    # within VMEM for every bx the `_gs_bx` model admits; default ON
+    # (WLTPU_GS_PIPE=0 to disable for sweeps)
+    pipe = os.environ.get("WLTPU_GS_PIPE", "1") == "1"
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, h, h, 0, h, h, h],
-                      n_aux=3, n_out=2, bx=_gs_bx(S, h), vmem_mb=128)
+                      n_aux=3, n_out=2, bx=_gs_bx(S, h), vmem_mb=128,
+                      pipeline=pipe)
     om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
     xo, ro = call([om1], [x, r, iD, D, L[0], L[1], L[2]], _planes(g))
     zrow = jnp.zeros((1, S, 128), jnp.float32)
@@ -725,11 +744,46 @@ def jacobi_incr(x, r, L, D, iD, omega, g: FlatGeom):
     return gs_incr(x, r, L, D, iD, [], omega, g)
 
 
+def _bc_update(uw, Ui, ix, i, yv, zv, g: FlatGeom, save_exit: bool,
+               x_ghosts: bool = True):
+    """The `BC!` update sequence (`src/core.jl:199-224`) for component ``i``
+    of a window value whose row k is global row ``ix[k]``: Dirichlet normal
+    slabs, tangential ghost copies (x via in-window row rotate — valid when
+    global rows 0/Nx−1, if present, have their neighbor in the window),
+    optional exit-plane preservation.  Same (i, j) sequence as
+    `ops.flat.bc_vector_flat` so corner ghosts agree."""
+    Nx = g.Nx
+    # j = 0 (x direction): ghost rows + first interior face
+    if i == 0:
+        if save_exit:
+            # x-high exit plane keeps its current value
+            ui = jnp.where((ix == 0) | (ix == 1), Ui, uw)
+        else:
+            ui = jnp.where((ix == 0) | (ix == 1) | (ix == Nx - 1), Ui, uw)
+    elif x_ghosts:
+        nb_lo = _rshift(uw, 1)   # row k reads k+1 (ghost row 0)
+        nb_hi = _rshift(uw, -1)  # row k reads k-1 (row Nx-1)
+        ui = jnp.where(ix == 0, nb_lo, jnp.where(ix == Nx - 1, nb_hi, uw))
+    else:
+        # caller guarantees rows ∈ [1, Nx−1): the ghost-row rotate is dead
+        # code there, and Mosaic crashes lowering it on computed operands
+        ui = uw
+    # j = 1, 2 (in-plane): sequential like the reference's j loop
+    for j in range(1, 3):
+        idx = yv if j == 1 else zv
+        n = g.Ny if j == 1 else g.Nz
+        step = g.Nz if j == 1 else 1
+        if i == j:
+            ui = jnp.where((idx == 0) | (idx == n - 1) | (idx == 1), Ui, ui)
+        else:
+            ui = jnp.where(idx == 0, _pshift(ui, step),
+                           jnp.where(idx == n - 1, _pshift(ui, -step), ui))
+    return ui
+
+
 def bc_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False) -> jax.Array:
     """`BC!` (`src/core.jl:199-224`) as one fused kernel over x-row windows —
-    same update sequence as `ops.flat.bc_vector_flat` (constant Dirichlet
-    normal slabs, tangential ghost copies, optional exit-plane preservation),
-    but one HBM pass per component instead of an XLA where-chain that
+    one HBM pass per component instead of an XLA where-chain that
     materializes the field several times."""
     Nx, S = g.Nx, g.S
     D = u.shape[0]
@@ -742,35 +796,10 @@ def bc_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False) -> jax.Array:
             for i in range(D):
                 co = cos[i]
                 uw = win[i][:]
-                Ui = scalars[i]
-                # j = 0 (x direction): ghost rows + first interior face
                 ix = (jax.lax.broadcasted_iota(jnp.int32, uw.shape, 0)
                       + (ox - co))
-                if i == 0:
-                    if save_exit:
-                        # x-high exit plane keeps its current value
-                        ui = jnp.where((ix == 0) | (ix == 1), Ui, uw)
-                    else:
-                        ui = jnp.where((ix == 0) | (ix == 1) | (ix == Nx - 1),
-                                       Ui, uw)
-                else:
-                    nb_lo = _rshift(uw, 1)   # row k reads k+1 (ghost row 0)
-                    nb_hi = _rshift(uw, -1)  # row k reads k-1 (row Nx-1)
-                    ui = jnp.where(ix == 0, nb_lo,
-                                   jnp.where(ix == Nx - 1, nb_hi, uw))
-                # j = 1, 2 (in-plane): sequential like the reference's j loop
-                for j in range(1, D):
-                    idx = yv if j == 1 else zv
-                    n = g.Ny if j == 1 else g.Nz
-                    step = g.Nz if j == 1 else 1
-                    if i == j:
-                        ui = jnp.where((idx == 0) | (idx == n - 1)
-                                       | (idx == 1), Ui, ui)
-                    else:
-                        ui = jnp.where(idx == 0, _pshift(ui, step),
-                                       jnp.where(idx == n - 1,
-                                                 _pshift(ui, -step), ui))
-                s_ref[:] = ui
+                s_ref[:] = _bc_update(uw, scalars[i], ix, i, yv, zv, g,
+                                      save_exit)
                 outs.append(s_ref[pl.ds(co, bx)])
             return outs
 
@@ -781,6 +810,171 @@ def bc_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False) -> jax.Array:
     scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
     outs = call(scal, [u[i] for i in range(D)], _planes(g))
     return jnp.stack(outs)
+
+
+def _bc_ghost_rows(slabs, ubc, g: FlatGeom, save_exit: bool):
+    """The two x-ghost row slabs (global rows 0 and Nx−1) of `BC!`, as jnp
+    ops on (3, S, 128) slabs — the interior-row kernels (`bc_div_k`,
+    `projbc_k`) write rows [1, Nx−1) only.  ``slabs = (row0, nb1, rowN,
+    nbN)`` supply the pre-BC ghost rows and their interior neighbor rows
+    (matching `bc_k`'s in-window rotate reads)."""
+    from .flat import fshift, yz_planes
+
+    row0, nb1, rowN, nbN = slabs
+    yv, zv, _ = yz_planes(g, jnp.float32)
+    rows = []
+    for ix_val, row, nb in ((0, row0, nb1), (g.Nx - 1, rowN, nbN)):
+        comps = []
+        for i in range(3):
+            Ui = jnp.asarray(ubc[i], jnp.float32)
+            if i == 0:
+                keep = save_exit and ix_val == g.Nx - 1
+                ui = row[0] if keep else jnp.full_like(row[0], Ui)
+            else:
+                ui = nb[i]
+            for j in range(1, 3):
+                idx = yv if j == 1 else zv
+                n = g.Ny if j == 1 else g.Nz
+                step = g.Nz if j == 1 else 1
+                if i == j:
+                    ui = jnp.where((idx == 0) | (idx == n - 1) | (idx == 1),
+                                   Ui, ui)
+                else:
+                    ui = jnp.where(idx == 0, fshift(ui, step),
+                                   jnp.where(idx == n - 1,
+                                             fshift(ui, -step), ui))
+            comps.append(ui)
+        rows.append(jnp.stack(comps))
+    return rows
+
+
+def bc_div_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False):
+    """Fused `BC!` + cell-centered divergence (`src/Flow.jl:17-23`): the
+    projection RHS is the divergence of the freshly BC'd predictor field, so
+    computing both in one window pass saves re-reading u.  Returns
+    ``(u_bc, div)``.  Interior rows in-kernel; the two x-ghost row slabs are
+    jnp epilogue (`_bc_ghost_rows`)."""
+    Nx, S = g.Nx, g.S
+
+    def body(win, aux, scalars, ox, cos, bx):
+        yv, zv, ins = aux
+
+        def inner(r0, r1, r2):
+            refs = [r0, r1, r2]
+            for i in range(3):
+                uw = win[i][:]
+                ix = (jax.lax.broadcasted_iota(jnp.int32, uw.shape, 0)
+                      + (ox - cos[i]))
+                refs[i][:] = _bc_update(uw, scalars[i], ix, i, yv, zv, g,
+                                        save_exit, x_ghosts=(i == 0))
+            c0 = refs[0][pl.ds(cos[0], bx)]
+            u1c = refs[1][pl.ds(cos[1], bx)]
+            u2c = refs[2][pl.ds(cos[2], bx)]
+            s = (refs[0][pl.ds(cos[0] + 1, bx)] - c0) \
+                + (_pshift(u1c, g.Nz) - u1c) + (_pshift(u2c, 1) - u2c)
+            gx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ox
+            m = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
+            return [c0, u1c, u2c, s * m]
+
+        scr = [pltpu.VMEM(w.shape, jnp.float32) for w in win]
+        return pl.run_scoped(inner, *scr)
+
+    call = _halo_call(body, Nx, S, n_scalar=3, halos=[1, 0, 0], n_aux=3,
+                      n_out=4, bx=8, pipeline=True)
+    scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
+    o = call(scal, [u[0], u[1], u[2]], _planes(g))
+    lo, hi = _bc_ghost_rows((u[:, 0], u[:, 1], u[:, -1], u[:, -2]), ubc, g,
+                            save_exit)
+    u_bc = jnp.stack([_fix_ghost_rows(o[i], lo[i][None], hi[i][None])
+                      for i in range(3)])
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    dv = _fix_ghost_rows(o[3], zrow, zrow)
+    return u_bc, dv
+
+
+def _proj_row(u: jax.Array, x: jax.Array, L: jax.Array, g: FlatGeom, k: int):
+    """Corrected velocity ``u - L ∂x`` at interior x-row ``k`` (jnp slab) —
+    feeds the ghost-row epilogue of `projbc_k`."""
+    from .flat import fshift, yz_planes
+
+    _, _, ins = yz_planes(g, jnp.float32)
+    xk = x[k]
+    comps = [u[0, k] - ins * (L[0, k] * (xk - x[k - 1])),
+             u[1, k] - ins * (L[1, k] * (xk - fshift(xk, -g.Nz))),
+             u[2, k] - ins * (L[2, k] * (xk - fshift(xk, -1)))]
+    return jnp.stack(comps)
+
+
+def projbc_k(u: jax.Array, x: jax.Array, L: jax.Array, ubc, g: FlatGeom,
+             save_exit: bool = False, want_cfl: bool = False):
+    """Fused projection correction + `BC!` [+ CFL summand]
+    (`mom_project!` tail, `src/Flow.jl:227-231` + `src/core.jl:199-224` +
+    `CFL`, `src/Flow.jl:234-244`): one window pass computes
+
+        uᵢ −= Lᵢ ∂ᵢx  (interior) → BC! → s = Σᵢ max(0, uᵢ[+eᵢ]) + max(0, −uᵢ)
+
+    instead of three XLA passes that each materialize shifted copies.
+    Returns ``u_new`` or ``(u_new, s)``; ``dt = min(dt_max, 1/(max(s)+5ν))``
+    is the caller's reduction.  Interior rows in-kernel; x-ghost rows via
+    `_bc_ghost_rows` with `_proj_row` neighbors."""
+    Nx, S = g.Nx, g.S
+
+    def body(win, aux, scalars, ox, cos, bx):
+        yv, zv, ins = aux
+        u0w, u1w, u2w, xw, l0w, l1w, l2w = win
+        # u0/L0 halo-1 windows are exactly rows [ox−1, ox+bx+1) at every
+        # block (clamps coincide with the covered range), so the x-component
+        # works on the full (bx+2)-row window — an odd-height slice here
+        # crashes the Mosaic relayout pass ("limits[i] <= dim(i)")
+        bxe = bx + 2
+        gx_e = jax.lax.broadcasted_iota(jnp.int32, (bxe, S, 128), 0) + ox - 1
+        m_e = ins * jnp.where((gx_e >= 1) & (gx_e <= Nx - 2), 1.0, 0.0)
+        x_c = xw[pl.ds(cos[3] - 1, bxe)]        # rows [ox−1, ox+bx+1)
+        x_m = _rshift(x_c, -1)                  # x[k−1]; row 0 wrap is masked
+        ue0 = u0w[:] - m_e * (l0w[:] * (x_c - x_m))
+        m_c = m_e[1:bx + 1]
+        x_cc = x_c[1:bx + 1]
+        ue1 = u1w[:] - m_c * (l1w[:] * (x_cc - _pshift(x_cc, -g.Nz)))
+        ue2 = u2w[:] - m_c * (l2w[:] * (x_cc - _pshift(x_cc, -1)))
+
+        def inner(r0, r1, r2):
+            r0[:] = _bc_update(ue0, scalars[0], gx_e, 0, yv, zv, g, save_exit)
+            r1[:] = _bc_update(ue1, scalars[1], gx_e[1:bx + 1], 1, yv, zv, g,
+                               save_exit, x_ghosts=False)
+            r2[:] = _bc_update(ue2, scalars[2], gx_e[1:bx + 1], 2, yv, zv, g,
+                               save_exit, x_ghosts=False)
+            c0 = r0[pl.ds(1, bx)]
+            c1, c2 = r1[:], r2[:]
+            outs = [c0, c1, c2]
+            if want_cfl:
+                s = jnp.zeros((bx, S, 128), jnp.float32)
+                s = s + jnp.maximum(0.0, r0[pl.ds(2, bx)]) \
+                    + jnp.maximum(0.0, -c0)
+                s = s + jnp.maximum(0.0, _pshift(c1, g.Nz)) \
+                    + jnp.maximum(0.0, -c1)
+                s = s + jnp.maximum(0.0, _pshift(c2, 1)) \
+                    + jnp.maximum(0.0, -c2)
+                outs.append(s * m_c)
+            return outs
+
+        scr_e = pltpu.VMEM((bxe, S, 128), jnp.float32)
+        scr_c = pltpu.VMEM((bx, S, 128), jnp.float32)
+        return pl.run_scoped(inner, scr_e, scr_c, scr_c)
+
+    call = _halo_call(body, Nx, S, n_scalar=3, halos=[1, 0, 0, 2, 1, 0, 0],
+                      n_aux=3, n_out=4 if want_cfl else 3, bx=8,
+                      pipeline=True)
+    scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
+    o = call(scal, [u[0], u[1], u[2], x, L[0], L[1], L[2]], _planes(g))
+    lo, hi = _bc_ghost_rows((u[:, 0], _proj_row(u, x, L, g, 1), u[:, -1],
+                             _proj_row(u, x, L, g, g.Nx - 2)), ubc, g,
+                            save_exit)
+    u_new = jnp.stack([_fix_ghost_rows(o[i], lo[i][None], hi[i][None])
+                       for i in range(3)])
+    if not want_cfl:
+        return u_new
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    return u_new, _fix_ghost_rows(o[3], zrow, zrow)
 
 
 def div_k(u: jax.Array, g: FlatGeom) -> jax.Array:
