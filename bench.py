@@ -68,8 +68,12 @@ def _measure(N: int, steps: int, engine: str):
     radius = N // 8
     ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius)
+    # smooth_it=3: measured faster than the reference-default 4 at equal
+    # V-cycle counts on TPU (the dual-norm stop keeps the solve tolerance
+    # identical); the library default stays 4 for the reference's
+    # iteration-cap parity gates.
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
-                     body=body, dtype=jnp.float32,
+                     body=body, dtype=jnp.float32, smooth_it=3,
                      engine="auto" if engine == "flat" else "3d")
     cfg = sim.flow.cfg
 

@@ -91,10 +91,12 @@ class FlowCfg:
     dtype: Any = jnp.float32
     tol: float = 2e-3               # pressure solver tolerance
     itmx: int = 32                  # pressure solver max iterations
-    smooth_it: int = 3              # MG smoother sweeps; the reference uses
-                                    # it=4 (`Poisson.jl:135`) — 3 measured
-                                    # faster at equal V-cycle counts on TPU
-                                    # (256³: 79.2→72.6 ms/step, iters [2,1])
+    smooth_it: int = 4              # MG smoother sweeps (`it`, `Poisson.jl:135`).
+                                    # The default keeps the reference's V-cycle
+                                    # strength (its ≤2/≤3 iteration-cap gates
+                                    # depend on it); perf-tuned TPU configs pass
+                                    # smooth_it=3 explicitly (256³: 79.2→72.6
+                                    # ms/step at equal V-cycle counts — bench.py)
     fine_smooth_it: int = 0         # fine-level post-V-cycle sweeps override
                                     # (0 → smooth_it); the fine sweep is the
                                     # costliest kernel of the solve — fewer
@@ -498,7 +500,7 @@ class Flow:
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
                            scheme=scheme, dtype=dtype, tol=tol, itmx=itmx,
-                           smooth_it=_env_int("WLTPU_SMOOTH_IT", smooth_it, 3),
+                           smooth_it=_env_int("WLTPU_SMOOTH_IT", smooth_it, 4),
                            fine_smooth_it=_env_int("WLTPU_FINE_SMOOTH_IT",
                                                    fine_smooth_it, 0),
                            mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 0),
