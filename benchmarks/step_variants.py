@@ -63,6 +63,11 @@ def main():
         "band_fs3": dict(fine_smooth_it=3),
         "band_si3": dict(smooth_it=3),
         "band_si4": dict(smooth_it=4),
+        "band_si5": dict(smooth_it=5),
+        "band_si3fs5": dict(smooth_it=3, fine_smooth_it=5),
+        "band_si4fs6": dict(smooth_it=4, fine_smooth_it=6),
+        "band_si3fr": dict(smooth_it=3, fused_resid=True),
+        "band_si4fr": dict(smooth_it=4, fused_resid=True),
     }
     # env-flag variants (read at trace time): name suffixes after '+'
     # e.g. "band+share" sets WLTPU_CONV_SHARE=1, "band+bx8" sets WLTPU_GS_BX=8

@@ -137,6 +137,22 @@ def test_bc_div_k(save_exit):
     assert np.allclose(np.asarray(got_d), np.asarray(want_d), atol=4e-6)
 
 
+def test_bc_div_resid_k():
+    # fused BC! + divergence + solve-entry residual vs the composed ops
+    g, u, x, r, L, D, iD, ks = _fields()
+    ubc = (1.0, 0.25, -0.5)
+    got_u, got_z, got_r = plf.bc_div_resid_k(u, ubc, x, L, D, iD, g)
+    plf._INTERPRET = False
+    want_u = fo.bc_vector_flat(u, ubc, g)
+    want_z = fo.div_flat(want_u, g)
+    want_r = fo.zero_ghost_flat(
+        jnp.where(iD == 0, 0.0, want_z - fo.mult_flat(L, D, x, g)), g)
+    plf._INTERPRET = True
+    assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=2e-6)
+    assert np.allclose(np.asarray(got_z), np.asarray(want_z), atol=4e-6)
+    assert np.allclose(np.asarray(got_r), np.asarray(want_r), atol=1e-4)
+
+
 @pytest.mark.parametrize("save_exit,want_cfl",
                          [(False, False), (True, False), (False, True)])
 def test_projbc_k(save_exit, want_cfl):

@@ -108,6 +108,9 @@ class FlowCfg:
                                     # both fastest and cheapest to compile
                                     # (measured post div_k-fix, 128^3)
     fused_pc: bool = False          # fully-fused predictor/corrector kernel
+    fused_resid: bool = False       # fold the solve-entry residual into the
+                                    # fused BC+div kernel
+                                    # (`pallas_flat.bc_div_resid_k`)
     band_x: Optional[tuple[int, int]] = None
                                     # static x-row range [lo, hi) containing
                                     # every cell with nontrivial BDIM moments
@@ -495,7 +498,8 @@ class Flow:
                  dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
                  smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
                  fused_pc: Optional[bool] = None,
-                 fine_smooth_it: Optional[int] = None):
+                 fine_smooth_it: Optional[int] = None,
+                 fused_resid: Optional[bool] = None):
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
@@ -504,7 +508,9 @@ class Flow:
                            fine_smooth_it=_env_int("WLTPU_FINE_SMOOTH_IT",
                                                    fine_smooth_it, 0),
                            mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 0),
-                           fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)))
+                           fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)),
+                           fused_resid=bool(_env_int("WLTPU_FUSED_RESID",
+                                                     fused_resid, 0)))
         if u0 is not None and not callable(u0):
             u0 = tuple(float(v) for v in u0)   # hashable jit key
         self._refresh = None            # lazy-sync hook (flat-engine backed)

@@ -185,20 +185,21 @@ def _kernel_bc_ok(cfg: FlowCfg, u, ctx) -> bool:
 
 def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0,
                   ctx=None, ctx3=None, n_dist: int = 0, z=None,
-                  want_cfl: bool = False):
+                  want_cfl: bool = False, x0=None, r0=None):
     """`mom_project!` (`src/Flow.jl:223-232`) on flat fields.  ``z`` may be
-    supplied by the fused BC+div kernel; with ``want_cfl`` the projection
+    supplied by the fused BC+div kernel (with ``x0``/``r0`` additionally by
+    the fused BC+div+residual kernel); with ``want_cfl`` the projection
     tail also emits the CFL summand field (`projbc_k`)."""
     from ..ops import pallas_flat as plf
 
     if z is None:
         z = div_flat(u, g)
-    x = p * dt_w
+    x = p * dt_w if x0 is None else x0
     res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
                                itmx=cfg.itmx, smooth_it=cfg.smooth_it,
                                unroll=cfg.mg_unroll, perdir=cfg.perdir,
                                ctx=ctx, ctx3=ctx3, n_dist=n_dist,
-                               fine_smooth_it=cfg.fine_smooth_it)
+                               fine_smooth_it=cfg.fine_smooth_it, r0=r0)
     p = res.x / dt_w
     s_cfl = None
     if _kernel_bc_ok(cfg, u, ctx):
@@ -310,27 +311,36 @@ def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
     u0 = state.u
     state = dataclasses.replace(state, u0=u0)
     fuse_bc = _kernel_bc_ok(cfg, u0, ctx) and not cfg.exit_bc
+    fuse_resid = fuse_bc and cfg.fused_resid
 
-    def _bc_div(u):
-        """post-half-step BC (+ divergence, fused when kernel-eligible)."""
+    def _bc_div(u, p, dt_w):
+        """post-half-step BC (+ divergence [+ solve-entry residual], fused
+        when kernel-eligible)."""
+        if fuse_resid:
+            x0 = p * dt_w
+            u, z, r0 = plf.bc_div_resid_k(u, cfg.ubc, x0, fmg.fine.L,
+                                          fmg.fine.D, fmg.fine.iD, g)
+            return u, z, x0, r0
         if fuse_bc:
-            return plf.bc_div_k(u, cfg.ubc, g, save_exit=False)
+            u, z = plf.bc_div_k(u, cfg.ubc, g, save_exit=False)
+            return u, z, None, None
         u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
                            perdir=cfg.perdir, t=t1, ctx=ctx, ctx3=ctx3)
-        return u, None
+        return u, None, None, None
 
     # predictor (`Flow.jl:157-161`)
     u = _half_step(u0, u0, u0, state, cfg, dt, t0, 0.0, 1.0, g, udf, ctx, ctx3)
-    u, z = _bc_div(u)
+    u, z, x0, r0 = _bc_div(u, state.p, dt)
     if cfg.exit_bc:
         u = exit_bc_flat(u, u0, dt, g, ctx)
     u, p, n1, s1, _ = _project_flat(u, state.p, fmg, masks, dt, cfg, g, t1,
-                                    ctx, ctx3, n_dist, z=z)
+                                    ctx, ctx3, n_dist, z=z, x0=x0, r0=r0)
     # corrector (`Flow.jl:163-165`)
     u = _half_step(u, u, u0, state, cfg, dt, t1, 1.0, 0.5, g, udf, ctx, ctx3)
-    u, z = _bc_div(u)
+    u, z, x0, r0 = _bc_div(u, p, 0.5 * dt)
     u, p, n2, s2, s_cfl = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g,
-                                        t1, ctx, ctx3, n_dist, z=z,
+                                        t1, ctx, ctx3, n_dist, z=z, x0=x0,
+                                        r0=r0,
                                         want_cfl=_kernel_bc_ok(cfg, u, ctx))
     state = dataclasses.replace(state, u=u, p=p)
     if s_cfl is not None:

@@ -429,13 +429,20 @@ def mult_flat(L: jax.Array, D: jax.Array, x: jax.Array, g: FlatGeom,
 def residual_flat(L, D, iD, x, z, g: FlatGeom,
                   perdir: tuple[int, ...] = (), ctx=None) -> jax.Array:
     """r = z − A·x with the null-space fixes (`Poisson.jl:92-98`)."""
+    r = jnp.where(iD == 0, 0.0, z - mult_flat(L, D, x, g, perdir, ctx))
+    return null_space_fix(zero_ghost_flat(r, g), g, ctx)
+
+
+def null_space_fix(r: jax.Array, g: FlatGeom, ctx=None) -> jax.Array:
+    """The mean-subtraction null-space fix of `residual!`
+    (`Poisson.jl:92-98`) on a raw residual whose ghosts/dead-cell entries are
+    already zero — shared by `residual_flat` and the fused entry-residual
+    kernel (`pallas_flat.bc_div_resid_k`)."""
     from .dist import psum_all
 
-    r = jnp.where(iD == 0, 0.0, z - mult_flat(L, D, x, g, perdir, ctx))
-    r = zero_ghost_flat(r, g)
     n = _global_n(g, ctx)
     s = psum_all(jnp.sum(r), ctx) / n
-    eps2 = 2 * jnp.finfo(x.dtype).eps
+    eps2 = 2 * jnp.finfo(r.dtype).eps
     return r - jnp.where(jnp.abs(s) <= eps2, 0.0, s) * inside_mask_flat(g, r.shape, r.dtype)
 
 

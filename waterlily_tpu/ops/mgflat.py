@@ -166,21 +166,28 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   itmx: int = 32, smooth_it: int = 4,
                   unroll: int = 8,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
-                  n_dist: int = 0, fine_smooth_it: int = 0) -> mg.MGSolveResult:
+                  n_dist: int = 0, fine_smooth_it: int = 0,
+                  r0=None) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
     backend).  ``smooth_it`` matches the reference smoother tunable
     (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`); both knobs come from
     `FlowCfg` — no environment reads at trace time.  ``ctx``/``ctx3``/
-    ``n_dist`` select the x-decomposed variant (see `_v_cycle_flat`)."""
-    from .flat import _global_n
+    ``n_dist`` select the x-decomposed variant (see `_v_cycle_flat`).
+    ``r0``, when given, is the raw entry residual already computed by the
+    fused BC+div+residual kernel (`pallas_flat.bc_div_resid_k`) — only the
+    null-space mean fix remains to apply."""
+    from .flat import _global_n, null_space_fix
 
     f = fmg.fine
     dtype = x.dtype
     r1tol = jnp.asarray((tol / 10.0) * _global_n(g, ctx), dtype)
     rinf_tol = jnp.asarray(tol, dtype)
-    r = residual_flat(f.L, f.D, f.iD, x, z, g, perdir, ctx)
+    if r0 is None:
+        r = residual_flat(f.L, f.D, f.iD, x, z, g, perdir, ctx)
+    else:
+        r = null_space_fix(r0, g, ctx)
     r1, rinf = norms_flat(r, ctx)
     omega = jnp.asarray(1.0, dtype)
     stats = jnp.zeros((itmx + 1, 3), dtype).at[0].set(jnp.stack([rinf, r1, omega]))

@@ -892,6 +892,75 @@ def bc_div_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False):
     return u_bc, dv
 
 
+def bc_div_resid_k(u: jax.Array, ubc, x: jax.Array, L: jax.Array,
+                   D: jax.Array, iD: jax.Array, g: FlatGeom,
+                   save_exit: bool = False):
+    """`bc_div_k` extended with the solve-entry residual (`residual!`,
+    `src/Poisson.jl:92-98`): the projection's first solver action is
+    r = z − A·x₀ on the divergence it just computed, so one window pass emits
+
+        u_bc, z = BC!(u), div(u_bc);   r_raw = [iD≠0]·(z − A·x₀)·interior
+
+    saving the separate `mult_k` + residual pass (~1.9 ms at 256³).  The
+    null-space mean fix needs a global reduction and stays in the caller
+    (`ops.flat.null_space_fix`).  ``x₀`` is the dt-scaled warm start with
+    ghost planes exactly as the previous solve left them (non-periodic
+    `sync_ghost_flat` is the identity, so parity with `residual_flat` is
+    bitwise)."""
+    Nx, S = g.Nx, g.S
+
+    def body(win, aux, scalars, ox, cos, bx):
+        yv, zv, ins = aux
+        xw, l0w, l1w, l2w, dw, idw = win[3:]
+
+        def inner(r0, r1, r2):
+            refs = [r0, r1, r2]
+            for i in range(3):
+                uw = win[i][:]
+                ixr = (jax.lax.broadcasted_iota(jnp.int32, uw.shape, 0)
+                       + (ox - cos[i]))
+                refs[i][:] = _bc_update(uw, scalars[i], ixr, i, yv, zv, g,
+                                        save_exit, x_ghosts=(i == 0))
+            c0 = refs[0][pl.ds(cos[0], bx)]
+            u1c = refs[1][pl.ds(cos[1], bx)]
+            u2c = refs[2][pl.ds(cos[2], bx)]
+            s = (refs[0][pl.ds(cos[0] + 1, bx)] - c0) \
+                + (_pshift(u1c, g.Nz) - u1c) + (_pshift(u2c, 1) - u2c)
+            gx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ox
+            m = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
+            z = s * m
+            # A·x₀ on center rows (`mult_k` stencil)
+            cox, col = cos[3], cos[4]
+            x_c = xw[pl.ds(cox, bx)]
+            ax = x_c * dw[:]
+            ax = ax + xw[pl.ds(cox - 1, bx)] * l0w[pl.ds(col, bx)] \
+                + xw[pl.ds(cox + 1, bx)] * l0w[pl.ds(col + 1, bx)]
+            l1c = l1w[:]
+            l2c = l2w[:]
+            ax = ax + _pshift(x_c, -g.Nz) * l1c \
+                + _pshift(x_c, g.Nz) * _pshift(l1c, g.Nz)
+            ax = ax + _pshift(x_c, -1) * l2c \
+                + _pshift(x_c, 1) * _pshift(l2c, 1)
+            r = jnp.where(idw[:] == 0.0, 0.0, s - ax) * m
+            return [c0, u1c, u2c, z, r]
+
+        scr = [pltpu.VMEM(w.shape, jnp.float32) for w in win[:3]]
+        return pl.run_scoped(inner, *scr)
+
+    call = _halo_call(body, Nx, S, n_scalar=3,
+                      halos=[1, 0, 0, 1, 1, 0, 0, 0, 0], n_aux=3,
+                      n_out=5, bx=8, pipeline=True)
+    scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
+    o = call(scal, [u[0], u[1], u[2], x, L[0], L[1], L[2], D, iD], _planes(g))
+    lo, hi = _bc_ghost_rows((u[:, 0], u[:, 1], u[:, -1], u[:, -2]), ubc, g,
+                            save_exit)
+    u_bc = jnp.stack([_fix_ghost_rows(o[i], lo[i][None], hi[i][None])
+                      for i in range(3)])
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    return (u_bc, _fix_ghost_rows(o[3], zrow, zrow),
+            _fix_ghost_rows(o[4], zrow, zrow))
+
+
 def _proj_row(u: jax.Array, x: jax.Array, L: jax.Array, g: FlatGeom, k: int):
     """Corrected velocity ``u - L ∂x`` at interior x-row ``k`` (jnp slab) —
     feeds the ghost-row epilogue of `projbc_k`."""

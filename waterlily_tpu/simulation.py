@@ -191,6 +191,7 @@ class Simulation:
                  smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
                  fused_pc: Optional[bool] = None,
                  fine_smooth_it: Optional[int] = None,
+                 fused_resid: Optional[bool] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
         if U is None:
@@ -205,7 +206,7 @@ class Simulation:
         ctor = flow_ctor or fl.Flow
         tuning = {} if flow_ctor is not None else dict(
             smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc,
-            fine_smooth_it=fine_smooth_it)
+            fine_smooth_it=fine_smooth_it, fused_resid=fused_resid)
         self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
                          perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
                          dtype=dtype, tol=tol, itmx=itmx, **tuning)
