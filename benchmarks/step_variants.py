@@ -77,11 +77,14 @@ def main():
         os.environ.pop("WLTPU_CONV_SHARE", None)
         os.environ.pop("WLTPU_GS_BX", None)
         os.environ.pop("WLTPU_GS_PIPE", None)
+        os.environ.pop("WLTPU_INC_PIPE", None)
         for e in envs:
             if e == "share":
                 os.environ["WLTPU_CONV_SHARE"] = "1"
             elif e == "pipe":
                 os.environ["WLTPU_GS_PIPE"] = "1"
+            elif e == "ipipe":
+                os.environ["WLTPU_INC_PIPE"] = "1"
             elif e.startswith("bx"):
                 os.environ["WLTPU_GS_BX"] = e[2:]
         cfg = dataclasses.replace(base_cfg, **mods[base_name])

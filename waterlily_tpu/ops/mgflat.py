@@ -101,6 +101,48 @@ def _level(fmg: FlatMG, l: int) -> PoissonLevel:
     return fmg.fine if l == 0 else fmg.mids[l - 1]
 
 
+def _restrict_flat(r: jax.Array, gl: FlatGeom, mask, gc: FlatGeom):
+    """Flat→flat residual restriction — algebraically identical to
+    `to_flat(mg.restrict(from_flat(r), mask))` but the x pair-sum runs first,
+    in flat layout (aligned row adds), so the layout-changing plane repack
+    touches half the rows (`restrict`, `MultiLevelPoisson.jl:16-19,49`)."""
+    a = r[1:-1]
+    if mask[0]:
+        a = a[0::2] + a[1::2]
+    nxi = a.shape[0]
+    a3 = a.reshape(nxi, gl.S * 128)[:, :gl.M].reshape(nxi, gl.Ny, gl.Nz)
+    a3 = a3[:, 1:-1, 1:-1]
+    if mask[1]:
+        a3 = a3[:, 0::2] + a3[:, 1::2]
+    if mask[2]:
+        a3 = a3[:, :, 0::2] + a3[:, :, 1::2]
+    a3 = jnp.pad(a3, ((0, 0), (1, 1), (1, 1)))
+    f = a3.reshape(nxi, gc.M)
+    f = jnp.pad(f, ((1, 1), (0, gc.S * 128 - gc.M)))
+    return f.reshape(gc.Nx, gc.S, 128)
+
+
+def _prolong_flat(xc: jax.Array, gc: FlatGeom, mask, gl: FlatGeom):
+    """Flat→flat injection prolongation — identical to
+    `to_flat(mg.prolongate(from_flat(xc), mask))` with the in-plane expansion
+    done at the coarse x-count and the x doubling done last, on the flat
+    layout (aligned row repeat), halving the repack traffic (`prolongate!`,
+    `MultiLevelPoisson.jl:8,50`)."""
+    c3 = xc.reshape(gc.Nx, gc.S * 128)[:, :gc.M].reshape(gc.shape3)
+    a = c3[1:-1, 1:-1, 1:-1]
+    if mask[1]:
+        a = jnp.repeat(a, 2, axis=1)
+    if mask[2]:
+        a = jnp.repeat(a, 2, axis=2)
+    a = jnp.pad(a, ((0, 0), (1, 1), (1, 1)))
+    nxi = a.shape[0]
+    f = a.reshape(nxi, gl.M)
+    f = jnp.pad(f, ((0, 0), (0, gl.S * 128 - gl.M))).reshape(nxi, gl.S, 128)
+    if mask[0]:
+        f = jnp.repeat(f, 2, axis=0)
+    return jnp.pad(f, ((1, 1), (0, 0), (0, 0)))
+
+
 def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
                   smooth_it: int = 4, l: int = 0,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
@@ -124,9 +166,8 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
     x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0,
                        perdir=perdir, ctx=ctx)
     if l + 1 < n_flat:
-        rc3 = mg.restrict(from_flat(r, gl), masks[l])
         clv, gc = _level(fmg, l + 1), geoms[l + 1]
-        rc = to_flat(rc3, gc)
+        rc = _restrict_flat(r, gl, masks[l], gc)
         xc = jnp.zeros_like(rc)
         if l + 2 < n_levels:
             xc, rc = _v_cycle_flat(fmg, masks, xc, rc, omega, g, smooth_it,
@@ -134,7 +175,9 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
         xc, rc = gauss_seidel_rb_flat(clv.L, clv.D, clv.iD, xc, rc, gc,
                                       it=smooth_it, omega=omega, perdir=perdir,
                                       ctx=ctx)
-        eps3 = mg.prolongate(from_flat(xc, gc), masks[l])
+        return increment_flat(lv.L, lv.D, x, r,
+                              _prolong_flat(xc, gc, masks[l], gl), omega, gl,
+                              perdir, ctx)
     elif ctx is not None and l == n_dist - 1:
         # coarse-grid gather: restrict the gathered residual, run the
         # replicated tail, slice the correction back (`v_cycle` transition)

@@ -1104,10 +1104,13 @@ def increment_k(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
 
         return pl.run_scoped(inner, pltpu.VMEM(ew.shape, jnp.float32))
 
-    # NOTE: pipeline=False — the double-buffered variant is no faster
-    # standalone and collapses ~10x inside the cond-unrolled solver
+    # Round-1 measured pipeline=False (the double-buffered variant collapsed
+    # ~10x inside the cond-unrolled solver); the solver is now a pure
+    # while_loop (mg_unroll=0) where Pallas stays pipelined, so the flag is
+    # re-measurable via WLTPU_INC_PIPE (step_variants '+ipipe').
+    pipe = os.environ.get("WLTPU_INC_PIPE", "0") == "1"
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, 0, 1, 1, 1, 1, 0],
-                      n_aux=3, n_out=2, bx=8)
+                      n_aux=3, n_out=2, bx=8, pipeline=pipe)
     om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
     xo, ro = call([om1], [x, r, eps, L[0], L[1], L[2], D], _planes(g))
     xo = _fix_ghost_rows(xo, x[0:1], x[-1:])
