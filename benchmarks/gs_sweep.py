@@ -7,7 +7,8 @@ large S — the slice-cascade form register-spills ~62 MB at 256³/bx=12 and
 fails to compile.  This sweeps (bx, sliced, pipe) over one kernel instead of
 recompiling the full step per variant.
 
-Usage: python benchmarks/gs_sweep.py [N] [it] [reps]
+Usage: python benchmarks/gs_sweep.py [N] [it] [reps] [bx:sliced:pipe ...]
+(explicit case specs override the built-in priority list)
 """
 import os
 import sys
@@ -51,6 +52,9 @@ def main():
     cases = [(6, 1, 0), (8, 1, 0), (4, 1, 0), (6, 0, 0), (12, 0, 0),
              (8, 0, 0), (6, 1, 1), (8, 1, 1), (12, 1, 0), (4, 0, 0),
              (6, 0, 1), (8, 0, 1)]
+    if len(sys.argv) > 4:
+        cases = [tuple(int(v) for v in spec.split(":"))
+                 for spec in sys.argv[4:]]
 
     probe = jax.jit(lambda o: o[0].reshape(-1)[1] + o[1].reshape(-1)[1])
     for bx, sliced, pipe in cases:

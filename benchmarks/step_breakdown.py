@@ -13,7 +13,9 @@ converged dt — so the per-step budget is attributable:
     solve          full pressure solve from the step's own warm start
     step           the whole mom_step (reference: the sum of the above ×2)
 
-Usage: python benchmarks/step_breakdown.py [N] [reps]
+Usage: python benchmarks/step_breakdown.py [N] [reps] [smooth_it]
+(smooth_it defaults to the bench's perf config, 3 — the library default 4
+needs the recalibrated GS block size at 256³, see `pallas_flat._gs_bx`)
 """
 import os
 import sys
@@ -52,6 +54,7 @@ def timed(fn, args, reps):
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    smooth_it = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     from waterlily_tpu import AutoBody, Simulation
     from waterlily_tpu.models import flowflat as ffm
     from waterlily_tpu.ops import flat as fo
@@ -66,7 +69,8 @@ def main():
     ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius)
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
-                     body=body, dtype=jnp.float32, engine="flat")
+                     body=body, dtype=jnp.float32, engine="flat",
+                     smooth_it=smooth_it)
     cfg = sim.flow.cfg
     g = sim._flat["g"]
     masks = sim.masks

@@ -622,18 +622,21 @@ def _gauss_cascade(rr, idw, Ls, eps, colors, par, ins, g: FlatGeom):
 
 def _gs_bx(S: int, h: int) -> int:
     """Largest row-block size whose windows + live slice temporaries fit
-    VMEM.  Model 24·bx + 32·h window-rows ≤ 100MB, calibrated on hardware
-    at 256³/it=3 (S=528): bx=16 needs 141.5MB scoped VMEM (compile fails at
-    the 128MB limit), bx=8 pipelined fits and is the measured optimum
-    (3.49 ms vs 4.82 unpipelined, 5.1 full-recompute, 6.9 round-1 it=4) —
-    see `benchmarks/gs_sweep.py`.  Override with WLTPU_GS_BX."""
+    VMEM.  Model 24·bx + 32·h window-rows ≤ 88MB, calibrated on hardware
+    at 256³ (S=528): it=3/bx=16 needs 141.5MB scoped VMEM (compile fails at
+    the 128MB limit) while it=3/bx=8 pipelined fits and is the measured
+    optimum (3.49 ms vs 4.82 unpipelined, 5.1 full-recompute); it=4/bx=8
+    (95MB by this model) OOMs by 660K — register spills of the longer
+    cascade — while it=4/bx=6 (82MB) compiles and is the measured it=4
+    optimum (5.44 ms vs 5.97 bx=8-unpipelined, 6.0 full-recompute) — see
+    `benchmarks/gs_sweep.py`.  Override with WLTPU_GS_BX."""
     env = os.environ.get("WLTPU_GS_BX")
     if env:
         return int(env)
     per_row = S * 128 * 4
     best = 4
     for bx in (6, 8, 12, 16, 24, 32):
-        if (24 * bx + 32 * h) * per_row <= 100 * 1024 * 1024:
+        if (24 * bx + 32 * h) * per_row <= 88 * 1024 * 1024:
             best = bx
     return best
 
