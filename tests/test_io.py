@@ -128,6 +128,111 @@ def test_orbax_async(tmp_path):
     assert len(sim2.flow.dt) == len(sim.flow.dt) - 1
 
 
+# -------------------------------------------------- distributed checkpoints
+def _mk_dist_pair(tmp_path=None, mesh_shape=(4,)):
+    import jax
+
+    from waterlily_tpu.parallel.dist import DistSimulation, make_mesh
+
+    if len(jax.devices()) < max(4, int(np.prod(mesh_shape))):
+        pytest.skip("needs the virtual multi-device mesh")
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F32)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F32)
+    return mk, lambda: DistSimulation(mk(), make_mesh(mesh_shape))
+
+
+@pytest.mark.parametrize("fmt", ["npz", "ckpt"])
+def test_dist_checkpoint_roundtrip(tmp_path, fmt):
+    """Step 2, save, rebuild, load, step 1 — parity with an uncheckpointed
+    3-step run.  Saves must capture the LIVE sharded state (regression:
+    `save_*` read the stale pre-stepping `sim.flow.state`)."""
+    from waterlily_tpu.utils.io import load, save
+
+    mk, mkd = _mk_dist_pair()
+    src = mkd()
+    for _ in range(2):
+        src.step_once(remeasure=False)
+    f = str(tmp_path / f"dist.{fmt}")
+    save(f, src)
+    src.step_once(remeasure=False)   # reference: one more step from the ckpt
+
+    dst = mkd()
+    load(f, dst)
+    dst.step_once(remeasure=False)
+    assert np.allclose(dst.u, src.u, atol=1e-6)
+    assert np.allclose(dst.p, src.p, atol=2e-5)
+    assert dst.sim.flow.dt == pytest.approx(src.sim.flow.dt)
+
+
+def test_dist_checkpoint_to_single_device(tmp_path):
+    """A checkpoint written from a DistSimulation restores into a plain
+    Simulation (dense layout) and continues identically."""
+    from waterlily_tpu.utils.io import load, save
+
+    mk, mkd = _mk_dist_pair()
+    src = mkd()
+    for _ in range(2):
+        src.step_once(remeasure=False)
+    f = str(tmp_path / "dist.ckpt")
+    save(f, src)
+    src.step_once(remeasure=False)
+
+    ref = mk()
+    load(f, ref)
+    ref.sim_step(remeasure=False)
+    assert np.allclose(np.asarray(ref.flow.u), src.u, atol=1e-5)
+
+
+def test_dist_vtk_writes_live_state(tmp_path):
+    """VTKWriter's default attribs must read the stepped (sharded) fields,
+    not the stale `sim.flow.state`."""
+    os.chdir(tmp_path)
+    mk, mkd = _mk_dist_pair()
+    d = mkd()
+    d.step_once(remeasure=False)
+    w = VTKWriter("dwl")
+    w.write(d)
+    w.close()
+    from waterlily_tpu.utils.io import _read_vti
+
+    fields = _read_vti(os.path.join("vtk_data", "dwl_000000.vti"))
+    assert np.allclose(fields["Velocity"][:3], d.u, atol=1e-6)
+    assert not np.allclose(fields["Velocity"][:3],
+                           np.asarray(d.sim.flow.state.u), atol=1e-6)
+
+
+def test_dist_meanflow_reads_live_state():
+    """MeanFlow built from a DistSimulation averages the live sharded state
+    (regression: `update` read the stale single-device `flow.state`)."""
+    mk, mkd = _mk_dist_pair()
+    d = mkd()
+    d.step_once(remeasure=False)
+    mf = MeanFlow(flow=d, uu_stats=True)
+    mf.update(d)
+    assert np.allclose(np.asarray(mf.U), np.asarray(d.state.u), atol=1e-7)
+    d.step_once(remeasure=False)
+    mf.update(d)
+    assert np.all(np.isfinite(np.asarray(mf.uu())))
+    # blocked-layout shapes match the sharded state, not the dense cfg.shape
+    assert mf.P.shape == d.state.p.shape
+
+
+def test_dist_rejects_pcg():
+    """`psolver='pcg'` must raise under decomposition, not be silently
+    replaced by multigrid (`pois_ctor` contract, `WaterLily.jl:96-97`)."""
+    import jax
+
+    from waterlily_tpu.parallel.dist import DistSimulation, make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    sim = Simulation((32, 16), (1.0, 0.0), 4.0, dtype=F32, psolver="pcg")
+    with pytest.raises(ValueError, match="psolver='mg'"):
+        DistSimulation(sim, make_mesh((4,)))
+
+
 def test_load_resyncs_flat_engine_mirror():
     """Restoring a checkpoint into a flat-engine sim must reach the flat
     state actually stepped — regression for the load path ignoring

@@ -130,6 +130,14 @@ class DistSimulation:
     """
 
     def __init__(self, sim: Simulation, mesh: Mesh, engine: str = "auto"):
+        if sim.psolver != "mg":
+            # the reference honors `pois_ctor` injection (`WaterLily.jl:96-97`)
+            # everywhere; we don't have a distributed PCG, and silently
+            # substituting MG would be worse than refusing
+            raise ValueError(
+                f"DistSimulation supports psolver='mg' only (got "
+                f"{sim.psolver!r}); run custom pressure solvers single-device "
+                "or decompose with the multigrid solver")
         cfg = sim.flow.cfg
         D = cfg.D
         self.mesh = mesh
@@ -396,6 +404,19 @@ class DistSimulation:
     def p(self) -> np.ndarray:
         return from_blocked(self.state.p, self.sizes, lead=0)
 
+    def restore_fields(self, u, p):
+        """Load dense single-device-layout ``u``/``p`` (e.g. from a
+        checkpoint) into the live sharded state — and refresh the flat-engine
+        mirror, which is the state actually stepped in flat mode (the
+        checkpoint-restore half of `WaterLilyJLD2Ext.jl:30-41`)."""
+        st = dataclasses.replace(
+            self._state, u=self._put(np.asarray(u), 1),
+            u0=self._put(np.asarray(u), 1), p=self._put(np.asarray(p), 0))
+        self._state = st
+        self._fstale = False
+        if self._flat_mode:
+            self._fstate = self._to_flat_state(st)
+
     def measure(self, t: Optional[float] = None):
         """Re-measure the body on every shard and re-restrict the multigrid
         coefficients (`measure!` + `update!`, `WaterLily.jl:146-149`) —
@@ -422,12 +443,14 @@ class DistSimulation:
         the single-device `Simulation.sim_step`."""
         if remeasure:
             self.measure()
-        key = (id(udf), self._flat_mode)
+        # the cache entry holds a strong reference to udf and compares by
+        # identity — an `id()` key alone can alias a GC'd udf's recycled id
+        # to a stale compiled step
         cache = getattr(self, "_step_cache", None)
-        if cache is None or cache[0] != key:
+        if cache is None or cache[0] != self._flat_mode or cache[1] is not udf:
             fn = self._flat_step_fn(udf) if self._flat_mode else self._step_fn(udf)
-            self._step_cache = (key, fn)
-        step = self._step_cache[1]
+            self._step_cache = (self._flat_mode, udf, fn)
+        step = self._step_cache[2]
         dt = jnp.asarray(self.sim.flow.dt[-1], self.cfg.dtype)
         t0 = jnp.asarray(self.time, self.cfg.dtype)
         if self._flat_mode:
@@ -501,9 +524,10 @@ class DistSimulation:
         """``n`` CFL steps of the decomposed flow in ONE device program
         (`lax.scan` around the shard_map step) — see
         `Simulation.sim_step_n`; static bodies only."""
-        key = ("scan", n, id(udf), self._flat_mode)
+        key = ("scan", n, self._flat_mode)
         cache = getattr(self, "_scan_cache", None)
-        if cache is None or cache[0] != key:
+        # strong udf reference + identity check (same rationale as step_once)
+        if cache is None or cache[0] != key or cache[1] is not udf:
             inner = (self._flat_step_fn(udf) if self._flat_mode
                      else self._step_fn(udf))
 
@@ -516,8 +540,8 @@ class DistSimulation:
 
                 return jax.lax.scan(one, (state, dt, t0), None, length=n)
 
-            self._scan_cache = (key, run)
-        run = self._scan_cache[1]
+            self._scan_cache = (key, udf, run)
+        run = self._scan_cache[2]
         dt = jnp.asarray(self.sim.flow.dt[-1], self.cfg.dtype)
         t0 = jnp.asarray(self.time, self.cfg.dtype)
         if self._flat_mode:

@@ -404,10 +404,13 @@ class Simulation:
         kernel individually.)"""
         cfg = self.flow.cfg
         # cfg is part of the key: `measure()` may widen cfg.band_x for a
-        # moving body, and the cached closure would silently keep the old one
-        key = ("scan", n, id(udf), self._flat is not None, cfg)
+        # moving body, and the cached closure would silently keep the old
+        # one.  udf is held by strong reference and compared by identity —
+        # an `id(udf)` key alone can alias a GC'd udf's recycled id to a
+        # stale compiled scan.
+        key = ("scan", n, self._flat is not None, cfg)
         cache = getattr(self, "_scan_cache", None)
-        if cache is None or cache[0] != key:
+        if cache is None or cache[0] != key or cache[1] is not udf:
             if self._flat is not None:
                 from .models import flowflat as ff
 
@@ -432,8 +435,8 @@ class Simulation:
                 return jax.lax.scan(partial(one, solver=solver),
                                     (state, dt, t0), None, length=n)
 
-            self._scan_cache = (key, run)
-        run = self._scan_cache[1]
+            self._scan_cache = (key, udf, run)
+        run = self._scan_cache[2]
         dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
         t0 = jnp.asarray(self.time, cfg.dtype)
         if self._flat is not None:

@@ -30,12 +30,50 @@ __all__ = ["save_state", "load_state", "save_orbax", "load_orbax",
            "VTKWriter", "load_vtk", "save", "load"]
 
 
+def _is_dist(sim) -> bool:
+    """Duck-typed check for a `parallel.dist.DistSimulation` (its live state
+    is sharded/blocked and `sim.flow.state` is the stale pre-stepping copy)."""
+    return hasattr(sim, "mesh") and hasattr(sim, "sizes")
+
+
+def _dense_u(sim) -> np.ndarray:
+    """Velocity in the dense single-device layout, whatever drives the sim."""
+    return np.asarray(sim.u) if _is_dist(sim) else np.asarray(sim.flow.state.u)
+
+
+def _dense_p(sim) -> np.ndarray:
+    return np.asarray(sim.p) if _is_dist(sim) else np.asarray(sim.flow.state.p)
+
+
+def _restore_fields(sim, u, p):
+    """Push dense ``u``/``p`` into whichever engine the sim actually steps
+    (3D, flat mirror, or sharded blocked state)."""
+    dtype = sim.flow.cfg.dtype
+    if _is_dist(sim):
+        sim.restore_fields(np.asarray(u, dtype), np.asarray(p, dtype))
+        return
+    sim.flow.state = dataclasses.replace(
+        sim.flow.state, p=jnp.asarray(p, dtype), u=jnp.asarray(u, dtype),
+        u0=jnp.asarray(u, dtype))
+    _resync_flat(sim)
+
+
+def _check_shapes(sim, p, u):
+    D = sim.flow.cfg.D
+    pshape, ushape = tuple(sim.flow.cfg.shape), (D,) + tuple(sim.flow.cfg.shape)
+    if tuple(p.shape) != pshape or tuple(u.shape) != ushape:
+        raise ValueError(f"checkpoint shapes p{tuple(p.shape)}/u{tuple(u.shape)}"
+                         f" != sim p{pshape}/u{ushape}")
+
+
 # ------------------------------------------------------------- npz checkpoint
 def save_state(fname: str, sim, meanflow=None):
-    """Checkpoint ``(p, u, dt)`` and optional MeanFlow stats."""
+    """Checkpoint ``(p, u, dt)`` and optional MeanFlow stats.  Accepts a
+    `Simulation` or a `DistSimulation` (the live sharded state is gathered to
+    the dense layout, so the checkpoint restores onto any mesh)."""
     data = {
-        "p": np.asarray(sim.flow.state.p),
-        "u": np.asarray(sim.flow.state.u),
+        "p": _dense_p(sim),
+        "u": _dense_u(sim),
         "dt": np.asarray(sim.flow.dt, np.float64),
     }
     if meanflow is not None:
@@ -52,14 +90,8 @@ def load_state(fname: str, sim, meanflow=None):
     `WaterLilyJLD2Ext.jl:30-41`)."""
     with np.load(fname) as d:
         p, u = d["p"], d["u"]
-        if p.shape != sim.flow.state.p.shape:
-            raise ValueError(f"checkpoint p shape {p.shape} != sim {sim.flow.state.p.shape}")
-        if u.shape != sim.flow.state.u.shape:
-            raise ValueError(f"checkpoint u shape {u.shape} != sim {sim.flow.state.u.shape}")
-        dtype = sim.flow.cfg.dtype
-        sim.flow.state = dataclasses.replace(
-            sim.flow.state, p=jnp.asarray(p, dtype), u=jnp.asarray(u, dtype),
-            u0=jnp.asarray(u, dtype))
+        _check_shapes(sim, p, u)
+        _restore_fields(sim, u, p)
         sim.flow.dt = [float(x) for x in d["dt"]]
         if meanflow is not None and "mf_P" in d:
             meanflow.P = jnp.asarray(d["mf_P"])
@@ -67,7 +99,6 @@ def load_state(fname: str, sim, meanflow=None):
             if "mf_UU" in d:
                 meanflow.UU = jnp.asarray(d["mf_UU"])
             meanflow.t = [float(x) for x in d["mf_t"]]
-    _resync_flat(sim)
     return sim
 
 
@@ -91,19 +122,30 @@ def save_orbax(path: str, sim, meanflow=None, async_: bool = False):
     Returns the checkpointer (call ``.wait_until_finished()`` on async)."""
     import orbax.checkpoint as ocp
 
-    payload = {"p": sim.flow.state.p, "u": sim.flow.state.u,
-               "dt": np.asarray(sim.flow.dt, np.float64)}
+    if _is_dist(sim):
+        # the LIVE sharded state (lazily refreshed from the flat engine),
+        # written per-shard in the blocked layout without a host gather;
+        # `blocked_sizes` lets load restore onto any target
+        st = sim.state
+        payload = {"p": st.p, "u": st.u,
+                   "dt": np.asarray(sim.flow.dt, np.float64),
+                   "blocked_sizes": np.asarray(sim.sizes, np.int64)}
+    else:
+        payload = {"p": sim.flow.state.p, "u": sim.flow.state.u,
+                   "dt": np.asarray(sim.flow.dt, np.float64)}
     if meanflow is not None:
         payload["mf_P"] = meanflow.P
         payload["mf_U"] = meanflow.U
         if meanflow.UU is not None:
             payload["mf_UU"] = meanflow.UU
         payload["mf_t"] = np.asarray(meanflow.t, np.float64)
-    if async_:
-        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-    else:
-        ckptr = ocp.StandardCheckpointer()
+    # always the async checkpointer: even the "sync" StandardCheckpointer
+    # finalizes sharded-array directories in a background thread, so a load
+    # right after save() can see no checkpoint — block explicitly instead
+    ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
     ckptr.save(os.path.abspath(path), payload, force=True)
+    if not async_:
+        ckptr.wait_until_finished()
     return ckptr
 
 
@@ -113,14 +155,16 @@ def load_orbax(path: str, sim, meanflow=None):
 
     ckptr = ocp.StandardCheckpointer()
     d = ckptr.restore(os.path.abspath(path))
-    p, u = d["p"], d["u"]
-    if p.shape != sim.flow.state.p.shape or u.shape != sim.flow.state.u.shape:
-        raise ValueError(f"checkpoint shapes {p.shape}/{u.shape} != sim "
-                         f"{sim.flow.state.p.shape}/{sim.flow.state.u.shape}")
-    dtype = sim.flow.cfg.dtype
-    sim.flow.state = dataclasses.replace(
-        sim.flow.state, p=jnp.asarray(p, dtype), u=jnp.asarray(u, dtype),
-        u0=jnp.asarray(u, dtype))
+    p, u = np.asarray(d["p"]), np.asarray(d["u"])
+    if "blocked_sizes" in d and d["blocked_sizes"] is not None:
+        # written from a DistSimulation: de-block to the dense layout first
+        from ..parallel.dist import from_blocked
+
+        sizes = tuple(int(v) for v in np.asarray(d["blocked_sizes"]))
+        p = from_blocked(p, sizes, lead=0)
+        u = from_blocked(u, sizes, lead=1)
+    _check_shapes(sim, p, u)
+    _restore_fields(sim, u, p)
     sim.flow.dt = [float(x) for x in d["dt"]]
     if meanflow is not None and "mf_P" in d:
         meanflow.P = jnp.asarray(d["mf_P"])
@@ -128,7 +172,6 @@ def load_orbax(path: str, sim, meanflow=None):
         if d.get("mf_UU") is not None:
             meanflow.UU = jnp.asarray(d["mf_UU"])
         meanflow.t = [float(x) for x in d["mf_t"]]
-    _resync_flat(sim)
     return sim
 
 
@@ -186,11 +229,10 @@ def _read_vti(fname: str) -> dict[str, np.ndarray]:
 
 def default_attrib() -> dict:
     """The default VTK output fields (`default_attrib`,
-    `WriteVTKExt.jl:16-19`): velocity + pressure closures over the sim."""
-    return {
-        "Velocity": lambda sim: np.asarray(sim.flow.state.u),
-        "Pressure": lambda sim: np.asarray(sim.flow.state.p),
-    }
+    `WriteVTKExt.jl:16-19`): velocity + pressure closures over the sim.
+    Dist-aware: a `DistSimulation`'s live sharded state is gathered to the
+    dense layout (its `sim.flow.state` would be the stale pre-step copy)."""
+    return {"Velocity": _dense_u, "Pressure": _dense_p}
 
 
 class VTKWriter:
@@ -213,7 +255,7 @@ class VTKWriter:
         write a ``.vti`` + refresh the ``.pvd`` collection (`vtkWriter`,
         `WriteVTKExt.jl:21-73`)."""
         fields = {k: f(sim) for k, f in self.attrib.items()}
-        sp = np.asarray(sim.flow.state.p).shape
+        sp = tuple(sim.flow.cfg.shape)
         path = os.path.join(self.dir, f"{self.fname}_{self.count:06d}.vti")
         _write_vti(path, fields, sp)
         self.entries.append((sim.time, path))
@@ -243,11 +285,10 @@ def load_vtk(sim, fname: str = "waterlily.pvd"):
                for d in root.iter("DataSet")]
     t_last, path = entries[-1]
     fields = _read_vti(path)
-    dtype = sim.flow.cfg.dtype
-    u = jnp.asarray(fields["Velocity"][: len(sim.flow.cfg.shape)], dtype)
-    p = jnp.asarray(fields["Pressure"], dtype)
-    sim.flow.state = dataclasses.replace(sim.flow.state, p=p, u=u, u0=u)
-    _resync_flat(sim)
+    u = fields["Velocity"][: len(sim.flow.cfg.shape)]
+    p = fields["Pressure"]
+    _check_shapes(sim, p, u)
+    _restore_fields(sim, u, p)
     sim.flow.dt = _dt_hist(entries)
     writer = VTKWriter(fname[:-4] if fname.endswith(".pvd") else fname)
     writer.entries = list(entries)

@@ -245,21 +245,29 @@ def total_moment(x0, sim) -> jax.Array:
 # ------------------------------------------------------------------ means
 class MeanFlow:
     """Exponential-window running averages of P, U (and u⊗u Reynolds
-    products) (`MeanFlow`, `Metrics.jl:205-257`)."""
+    products) (`MeanFlow`, `Metrics.jl:205-257`).
+
+    ``flow`` may be a `Flow` or a `parallel.dist.DistSimulation` — for the
+    latter the averages live in the blocked sharded layout and `update`
+    reads the live (`dsim.state`) fields, never the stale `sim.flow.state`
+    copy; the blends stay sharded on device."""
 
     def __init__(self, shape=None, D=None, flow=None, t_init=0.0,
                  uu_stats: bool = False, dtype=jnp.float32):
         if flow is not None:
-            shape = flow.cfg.shape
+            st = flow.state    # for a DistSimulation: refreshed + sharded
             D = flow.cfg.D
             dtype = flow.cfg.dtype
             t_init = flow.time
+            self.P = jnp.zeros_like(st.p)
+            self.U = jnp.zeros_like(st.u)
+            shape = st.p.shape
         else:
             shape = tuple(n + 2 for n in shape)  # interior dims like the ref
             D = D or len(shape)
-        self.P = jnp.zeros(shape, dtype)
-        self.U = jnp.zeros((D,) + shape, dtype)
-        self.UU = jnp.zeros((D, D) + shape, dtype) if uu_stats else None
+            self.P = jnp.zeros(shape, dtype)
+            self.U = jnp.zeros((D,) + shape, dtype)
+        self.UU = jnp.zeros((D, D) + tuple(shape), dtype) if uu_stats else None
         self.t = [float(t_init)]
         self.uu_stats = uu_stats
 
@@ -277,7 +285,9 @@ class MeanFlow:
         self.t = [float(t_init)]
 
     def update(self, flow):
-        """Blend in the instantaneous fields (`update!`, `Metrics.jl:228-243`)."""
+        """Blend in the instantaneous fields (`update!`, `Metrics.jl:228-243`).
+        ``flow``: the `Flow` (or `DistSimulation`) this MeanFlow was built
+        from — both expose the live ``state``/``time``."""
         dt = flow.time - self.t[-1]
         eps_w = dt / (dt + self.time + float(jnp.finfo(self.P.dtype).eps))
         if len(self.t) == 1:
