@@ -153,3 +153,31 @@ def test_spread():
     d4 = spread(srcv, 3, dim=2, lead=1)
     assert d4.shape == (2, 4, 5, 3)
     assert np.allclose(np.array(d4[..., 1]), np.array(srcv))
+
+
+def test_f32_force_reduction_compensated():
+    """The f32 surface-integral reduction (`_fsum`) must track the f64
+    reference sum to ~f32 roundoff of the ELEMENT values, independent of the
+    term count — the TPU has no fast f64, so forces accumulate via per-row
+    tree sums + a Neumaier-compensated row scan (`Metrics.jl:127` reduces in
+    Float64)."""
+    import jax
+
+    F32 = jnp.float32
+    N = 48
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - N / 2) ** 2)) - N / 4)
+    # adversarial p: large constant + small signal → naive sequential f32
+    # accumulation loses the signal digits
+    p64 = apply_scalar(lambda x: 1.0e5 + 1e-3 * x[0] + jnp.sin(x[1]),
+                       (N, N), F64)
+    df32 = (p64.astype(F32))[None] * mt.nds_field(body, p64.shape, 0.0, F32)
+    exact = np.asarray(df32, np.float64).sum(axis=(1, 2))  # exact acc of f32 els
+    comp = np.asarray(mt._fsum_comp(df32, 1))   # the TPU (no-f64) branch
+    plain = np.asarray(jnp.sum(df32, axis=(1, 2)))
+    # measured on this fixture: comp err [0.030, 0.025] = within the per-row
+    # element-rounding bound (~48·eps·1e5); plain XLA reduction err up to
+    # 0.31 — an order worse on the bad component
+    assert np.all(np.abs(comp - exact) < 0.06), (comp, exact)
+    assert np.abs(plain - exact).max() > 0.1, \
+        "fixture too easy: plain f32 reduction already at element roundoff"
+    del jax

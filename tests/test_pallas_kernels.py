@@ -236,3 +236,55 @@ def test_bdim_band():
     want = ff.bdim_flat(u, u0, f, z3, mu0_far, jnp.zeros_like(mu1), dt, g)
     plf._INTERPRET = True
     assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("it", [0, 1, 4])
+def test_smoother_k_mixed_precision(it):
+    """The bf16 mixed-precision smoother (`gs_incr(mp=True)`) must track the
+    f32 jnp reference to bf16 resolution — same cascade, same coloring, x/r
+    still updated in f32."""
+    g, u, x, r, L, D, iD, ks = _fields()
+    r = fo.zero_ghost_flat(r, g)
+    colors = [(1 - 3 - k0) % 2 for k0 in range(1, it + 1)]
+    om = jnp.float32(0.8)
+    got = plf.gs_incr(x, r, L, D, iD, colors, om, g, mp=True)
+    plf._INTERPRET = False
+    if it == 0:
+        want = fo.jacobi_flat(L, D, iD, x, r, g, it=1, omega=0.8)
+    else:
+        want = fo.gauss_seidel_rb_flat(L, D, iD, x, r, g, it=it, omega=0.8)
+    plf._INTERPRET = True
+    scale = float(jnp.abs(want[1]).max())
+    # bf16 has an 8-bit mantissa: elementwise agreement to ~2^-7 relative of
+    # the field scale (the cascade compounds a few roundings per sweep)
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]),
+                       atol=0.05 * max(1.0, float(jnp.abs(want[0]).max())))
+    assert np.allclose(np.asarray(got[1]), np.asarray(want[1]),
+                       atol=0.05 * max(1.0, scale))
+
+
+def test_mp_solve_converges():
+    """A full flat MG solve with mp smoothing must still hit the dual-norm
+    tolerance (the stop criterion and residual bookkeeping stay f32)."""
+    from waterlily_tpu.ops import mgflat
+    from waterlily_tpu.ops import multigrid as mg3
+
+    shape3 = (18, 18, 18)
+    g = fo.geom_of(shape3)
+    from waterlily_tpu.ops.bc import bc_vector
+    mu0 = bc_vector(jnp.ones((3,) + shape3, F32), (0.0, 0.0, 0.0))
+    masks = tuple(mg3.level_shapes(shape3)[1])
+    levels = mg3.update_mg(None, masks, mu0, ())
+    fmg = mgflat._flatten_stack(levels, g, masks)
+    key = jax.random.PRNGKey(3)
+    z = fo.zero_ghost_flat(
+        fo.to_flat(jax.random.normal(key, shape3, F32), g), g)
+    z = z - fo.interior_mean_flat(z, g) * fo.inside_mask_flat(g, z.shape, F32)
+    res = mgflat.solve_mg_flat(fmg, masks, jnp.zeros_like(z), z, g,
+                               tol=2e-3, itmx=32, smooth_it=3, unroll=0,
+                               mp=True)
+    r1, rinf = fo.norms_flat(res.r)
+    n = (g.Nx - 2) ** 3
+    assert float(rinf) < 2e-3
+    assert float(r1) < 2e-4 * n
+    assert int(res.iters) < 32

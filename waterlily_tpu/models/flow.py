@@ -117,6 +117,12 @@ class FlowCfg:
                                     # (μ0≠1 | μ1≠0 | V≠0); set at measure time
                                     # by `Simulation`, enables the band-sparse
                                     # BDIM fast path (`pallas_flat.bdim_band`)
+    mp_smooth: bool = False         # mixed-precision MG smoothing on the flat
+                                    # kernel path: bf16 coefficients +
+                                    # correction cascade, f32 x/r updates
+                                    # (`pallas_flat.gs_incr`).  Perf opt-in
+                                    # (bench config); the library default
+                                    # keeps every op at `dtype`.
 
     @property
     def D(self) -> int:
@@ -499,7 +505,8 @@ class Flow:
                  smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
                  fused_pc: Optional[bool] = None,
                  fine_smooth_it: Optional[int] = None,
-                 fused_resid: Optional[bool] = None):
+                 fused_resid: Optional[bool] = None,
+                 mp_smooth: Optional[bool] = None):
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
@@ -510,7 +517,9 @@ class Flow:
                            mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 0),
                            fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)),
                            fused_resid=bool(_env_int("WLTPU_FUSED_RESID",
-                                                     fused_resid, 0)))
+                                                     fused_resid, 0)),
+                           mp_smooth=bool(_env_int("WLTPU_MP_SMOOTH",
+                                                   mp_smooth, 0)))
         if u0 is not None and not callable(u0):
             u0 = tuple(float(v) for v in u0)   # hashable jit key
         self._refresh = None            # lazy-sync hook (flat-engine backed)

@@ -493,13 +493,15 @@ def _mult_synced(L, D, x, g: FlatGeom) -> jax.Array:
 
 
 def jacobi_flat(L, D, iD, x, r, g: FlatGeom, it: int = 1, omega=1.0,
-                perdir: tuple[int, ...] = (), ctx=None):
-    """Jacobi smoother (`Jacobi!`, `Poisson.jl:111-114`)."""
+                perdir: tuple[int, ...] = (), ctx=None, mp: bool = False):
+    """Jacobi smoother (`Jacobi!`, `Poisson.jl:111-114`).  ``mp``: bf16
+    coefficient reads + correction on the kernel path (see
+    `pallas_flat.gs_incr`)."""
     from . import pallas_flat as plf
 
     for _ in range(it):
         if plf.use_pallas_flat(x) and not perdir and ctx is None:
-            x, r = plf.jacobi_incr(x, r, L, D, iD, omega, g)
+            x, r = plf.jacobi_incr(x, r, L, D, iD, omega, g, mp)
         else:
             eps = zero_ghost_flat(r * iD, g)
             x, r = increment_flat(L, D, x, r, eps, omega, g, perdir, ctx)
@@ -507,7 +509,8 @@ def jacobi_flat(L, D, iD, x, r, g: FlatGeom, it: int = 1, omega=1.0,
 
 
 def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0,
-                         perdir: tuple[int, ...] = (), ctx=None):
+                         perdir: tuple[int, ...] = (), ctx=None,
+                         mp: bool = False):
     """Red-black Gauss-Seidel + increment (`GaussSeidelRB!`,
     `Poisson.jl:124-148`): the k-plane coloring is the index-sum
     checkerboard; each half-sweep is a masked whole-plane update.  Under
@@ -520,7 +523,7 @@ def gauss_seidel_rb_flat(L, D, iD, x, r, g: FlatGeom, it: int = 4, omega=1.0,
     Dim = 3
     colors = [(1 - Dim - k0) % 2 for k0 in range(1, it + 1)]
     if plf.use_pallas_flat(x) and not perdir and ctx is None:
-        return plf.gs_incr(x, r, L, D, iD, colors, omega, g)
+        return plf.gs_incr(x, r, L, D, iD, colors, omega, g, mp)
     yv, zv, insf = yz_planes(g, x.dtype)
     ix = _x_iota(x)
     par = (ix + x_parity(ctx, g) + yv + zv) % 2

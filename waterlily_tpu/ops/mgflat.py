@@ -146,7 +146,7 @@ def _prolong_flat(xc: jax.Array, gc: FlatGeom, mask, gl: FlatGeom):
 def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
                   smooth_it: int = 4, l: int = 0,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
-                  n_dist: int = 0):
+                  n_dist: int = 0, mp: bool = False):
     """One V-cycle level step (`Vcycle!`, `MultiLevelPoisson.jl:88-101`) with
     levels < len(mids)+1 in flat layout.
 
@@ -164,17 +164,17 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
     n_levels = n_flat + len(fmg.tail)
 
     x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0,
-                       perdir=perdir, ctx=ctx)
+                       perdir=perdir, ctx=ctx, mp=mp)
     if l + 1 < n_flat:
         clv, gc = _level(fmg, l + 1), geoms[l + 1]
         rc = _restrict_flat(r, gl, masks[l], gc)
         xc = jnp.zeros_like(rc)
         if l + 2 < n_levels:
             xc, rc = _v_cycle_flat(fmg, masks, xc, rc, omega, g, smooth_it,
-                                   l + 1, perdir, ctx, ctx3, n_dist)
+                                   l + 1, perdir, ctx, ctx3, n_dist, mp)
         xc, rc = gauss_seidel_rb_flat(clv.L, clv.D, clv.iD, xc, rc, gc,
                                       it=smooth_it, omega=omega, perdir=perdir,
-                                      ctx=ctx)
+                                      ctx=ctx, mp=mp)
         return increment_flat(lv.L, lv.D, x, r,
                               _prolong_flat(xc, gc, masks[l], gl), omega, gl,
                               perdir, ctx)
@@ -210,7 +210,7 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   unroll: int = 8,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
                   n_dist: int = 0, fine_smooth_it: int = 0,
-                  r0=None) -> mg.MGSolveResult:
+                  r0=None, mp: bool = False) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
@@ -220,7 +220,10 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     ``n_dist`` select the x-decomposed variant (see `_v_cycle_flat`).
     ``r0``, when given, is the raw entry residual already computed by the
     fused BC+div+residual kernel (`pallas_flat.bc_div_resid_k`) — only the
-    null-space mean fix remains to apply."""
+    null-space mean fix remains to apply.  ``mp``: mixed-precision smoothing
+    (bf16 coefficients + correction cascade, f32 x/r — see
+    `pallas_flat.gs_incr`); the entry residual, norms, stop criterion and
+    gauge all stay f32."""
     from .flat import _global_n, null_space_fix
 
     f = fmg.fine
@@ -242,10 +245,11 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     def body(c):
         x, r, r1, rinf, omega, n, stats = c
         x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
-                             perdir=perdir, ctx=ctx, ctx3=ctx3, n_dist=n_dist)
+                             perdir=perdir, ctx=ctx, ctx3=ctx3, n_dist=n_dist,
+                             mp=mp)
         x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g,
                                     it=fine_smooth_it or smooth_it,
-                                    omega=omega, perdir=perdir, ctx=ctx)
+                                    omega=omega, perdir=perdir, ctx=ctx, mp=mp)
         rnew, rinf = norms_flat(r, ctx)
         omega = jnp.where(rnew >= r1,
                           jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),

@@ -119,7 +119,7 @@ def _rshift(a: jax.Array, s: int) -> jax.Array:
 def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
                halos: list[int], n_aux: int, n_out: int, bx: int,
                vmem_mb: int = 100, cover_all: bool = False,
-               pipeline: bool = False):
+               pipeline: bool = False, in_dtypes=None):
     """Run ``body(win_refs, aux, scalars, ox, cos, bx) -> [(bx, S, 128)] *
     n_out`` over clamped x-row halo windows covering output rows [1, Nx-1)
     (or [0, Nx) with ``cover_all``).
@@ -245,9 +245,10 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
                 for k in range(n_out):
                     out_copy(ix - 1, 0, nxt, k).wait()
 
+    in_dtypes = in_dtypes or [jnp.float32] * n_win
     out_shapes = tuple(jax.ShapeDtypeStruct((Nx, S, 128), jnp.float32)
                        for _ in range(n_out))
-    win_scratch = [pltpu.VMEM((wk[k], S, 128), jnp.float32)
+    win_scratch = [pltpu.VMEM((wk[k], S, 128), in_dtypes[k])
                    for k in range(n_win) for _ in range(n_slot)]
     out_scratch = [pltpu.VMEM((bx, S, 128), jnp.float32)
                    for _ in range(n_out) for _ in range(n_slot)]
@@ -642,7 +643,7 @@ def _gs_bx(S: int, h: int) -> int:
 
 
 def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
-            iD: jax.Array, colors, omega, g: FlatGeom):
+            iD: jax.Array, colors, omega, g: FlatGeom, mp: bool = False):
     """Communication-avoiding red-black sweeps + increment
     (`GaussSeidelRB!` + `increment!`, `src/Poisson.jl:100-148`): each block
     recomputes the sweep cascade inside a halo of depth n_sweeps+1, then
@@ -659,10 +660,22 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
     the uniform slice size is safe at clamped edge blocks where ``s_k``
     shifts to keep reads in-bounds.
 
-    ``colors == []`` degenerates to the fused Jacobi smoother."""
+    ``colors == []`` degenerates to the fused Jacobi smoother.
+
+    ``mp`` (mixed precision): the cascade and coefficient reads run in
+    bfloat16 — L/D/iD are DMA'd as bf16 copies (caller casts ONCE per solve,
+    `ops.mgflat.solve_mg_flat`) and the correction scratch is bf16, halving
+    both coefficient HBM traffic and the VPU-bound cascade's register work.
+    x and r stay f32: ``x += ω·eps`` and ``r −= ω·A·eps`` accumulate in f32
+    on center rows, so the solution update is exact given the (bf16-rounded,
+    ~0.4% relative) correction — standard mixed-precision smoothing; every
+    solve re-enters with an exact f32 residual (`residual_flat` /
+    `bc_div_resid_k`), so smoother rounding never accumulates across solves.
+    """
     Nx, S = g.Nx, g.S
     it = len(colors)
     h = it + 1
+    cdt = jnp.bfloat16 if mp else jnp.float32
 
     def body(win, aux, scalars, ox, cos, bx):
         om = scalars[0]
@@ -677,11 +690,19 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
         sliced = (it > 0 and W < Nx and W - it - 2 >= bx
                   and os.environ.get("WLTPU_GS_SLICED", "1") == "1")
 
-        def inner(e_ref, l1s_ref, l2s_ref, par_ref, ins_ref):
+        def inner(e_ref, r_ref, l1s_ref, l2s_ref, par_ref, ins_ref):
             gx = jax.lax.broadcasted_iota(jnp.int32, (W, S, 128), 0) \
                 + (ox - co)
+            # masks/parity stay f32: bf16 COMPARISONS crash this Mosaic
+            # toolchain (micro-bisected on hardware; bf16 selects under an
+            # f32-derived mask lower fine)
             insw = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
-            e_ref[:] = rw[:] * idw_w[:] * insw
+            if mp:       # bf16 residual copy feeds the cascade reads
+                r_ref[:] = rw[:].astype(cdt)
+                rv = r_ref
+            else:
+                rv = rw
+            e_ref[:] = rv[:] * idw_w[:] * insw.astype(cdt)
             if sliced:
                 ins_ref[:] = insw
                 par_ref[:] = (gx.astype(jnp.float32) + yv + zv) % 2.0
@@ -692,7 +713,7 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
                     n = W - k - 2
                     s = jnp.where(ws == 0, 1, k + 1)
                     e_c = e_ref[pl.ds(s, n)]
-                    sv = rw[pl.ds(s, n)]
+                    sv = rv[pl.ds(s, n)]
                     sv = sv - (e_ref[pl.ds(s - 1, n)] * l0w[pl.ds(s, n)]
                                + e_ref[pl.ds(s + 1, n)] * l0w[pl.ds(s + 1, n)])
                     sv = sv - (_pshift(e_c, -g.Nz) * l1w[pl.ds(s, n)]
@@ -704,11 +725,14 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
                         (par_ref[pl.ds(s, n)] == float(color)) & (insl > 0),
                         sv * idw_w[pl.ds(s, n)], e_c)
             elif it > 0:
-                rr, idw = rw[:], idw_w[:]
+                rr, idw = rv[:], idw_w[:]
                 Ls = [l0w[:], l1w[:], l2w[:]]
                 par = (gx.astype(jnp.float32) + yv + zv) % 2.0
                 e_ref[:] = _gauss_cascade(rr, idw, Ls, e_ref[:], colors, par,
                                           insw, g)
+            # A·eps and the x/r updates in the cascade dtype, accumulated
+            # into f32 center rows (the bf16 rounding of A·eps is consistent
+            # with the bf16 A the cascade smoothed against)
             e_c = e_ref[pl.ds(co, bx)]
             aeps = e_c * dw[:]
             aeps = aeps + e_ref[pl.ds(co - 1, bx)] * l0w[pl.ds(co, bx)] \
@@ -719,12 +743,15 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
             aeps = aeps + _pshift(e_c, -1) * l2c + _pshift(e_c, 1) * _pshift(l2c, 1)
             gxc = jax.lax.broadcasted_iota(jnp.int32, e_c.shape, 0) + ox
             mc = ins * jnp.where((gxc >= 1) & (gxc <= Nx - 2), 1.0, 0.0)
-            x_new = xw[:] + om * e_c * mc
-            r_new = rw[pl.ds(co, bx)] - om * aeps * mc
+            x_new = xw[:] + om * e_c.astype(jnp.float32) * mc
+            r_new = rw[pl.ds(co, bx)] - om * aeps.astype(jnp.float32) * mc
             return [x_new, r_new]
 
-        scr = pltpu.VMEM((W, S, 128), jnp.float32)
-        return pl.run_scoped(inner, scr, scr, scr, scr, scr)
+        scr = pltpu.VMEM((W, S, 128), cdt)
+        scr32 = pltpu.VMEM((W, S, 128), jnp.float32)
+        r_scr = pltpu.VMEM((W, S, 128), cdt) if mp \
+            else pltpu.VMEM((1, 1, 128), jnp.float32)
+        return pl.run_scoped(inner, scr, r_scr, scr, scr, scr32, scr32)
 
     # pipelining doubles the 7 window buffers but overlaps their DMA with
     # the cascade — measured 28% faster at 256³ (3.49 vs 4.82 ms, bx=8) and
@@ -733,8 +760,13 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
     pipe = os.environ.get("WLTPU_GS_PIPE", "1") == "1"
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, h, h, 0, h, h, h],
                       n_aux=3, n_out=2, bx=_gs_bx(S, h), vmem_mb=128,
-                      pipeline=pipe)
+                      pipeline=pipe,
+                      in_dtypes=[jnp.float32, jnp.float32, cdt, cdt,
+                                 cdt, cdt, cdt])
     om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
+    if mp:
+        iD, D = iD.astype(cdt), D.astype(cdt)
+        L = L.astype(cdt)
     xo, ro = call([om1], [x, r, iD, D, L[0], L[1], L[2]], _planes(g))
     zrow = jnp.zeros((1, S, 128), jnp.float32)
     xo = _fix_ghost_rows(xo, x[0:1], x[-1:])
@@ -742,9 +774,9 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
     return xo, ro
 
 
-def jacobi_incr(x, r, L, D, iD, omega, g: FlatGeom):
+def jacobi_incr(x, r, L, D, iD, omega, g: FlatGeom, mp: bool = False):
     """Fused Jacobi smoother + increment (`Jacobi!`, `src/Poisson.jl:111-114`)."""
-    return gs_incr(x, r, L, D, iD, [], omega, g)
+    return gs_incr(x, r, L, D, iD, [], omega, g, mp)
 
 
 def _bc_update(uw, Ui, ix, i, yv, zv, g: FlatGeom, save_exit: bool,

@@ -115,6 +115,24 @@ def _dist_on_tpu() -> bool:
         return False
 
 
+# Compiled-function cache shared across DistSimulation instances: the jitted
+# step/measure/layout closures are fully determined by (cfg, mesh content,
+# engine[, udf identity]), so two sims of the same configuration — the
+# dominant pattern in tests (reference vs distributed pairs) and in
+# checkpoint-restart — reuse one compilation instead of re-tracing per
+# instance.  Values hold strong references to any udf so object identity in
+# the key can never alias a recycled id.
+_FN_CACHE: dict = {}
+
+
+def _cached_fn(key, builder):
+    ent = _FN_CACHE.get(key)
+    if ent is None:
+        ent = builder()
+        _FN_CACHE[key] = ent
+    return ent
+
+
 class DistSimulation:
     """Domain-decomposed drop-in for `Simulation`.
 
@@ -206,18 +224,30 @@ class DistSimulation:
     def n_levels(self):
         return len(self.masks) + 1
 
+    def _fn_key(self, *extra):
+        """Cache key capturing everything the jitted closures close over:
+        static config, decomposition, and the mesh CONTENT (two Mesh objects
+        over the same devices compile identically)."""
+        return (self.cfg, self.sizes, self.axes,
+                tuple(self.mesh.devices.flatten().tolist()),
+                tuple(self.mesh.axis_names)) + extra
+
     # ------------------------------------------------------------ jitted steps
     def _build_levels(self):
         cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
         axes, sizes = self.axes, self.sizes
 
-        @partial(shard_map, mesh=self.mesh, in_specs=self._specs(1),
-                 out_specs=self._level_specs(), check_vma=False)
-        def build(mu0_local):
-            ctx = make_ctx(axes, sizes, mu0_local.shape[1:])
-            return mg.make_mg_dist(mu0_local, ctx, masks, n_dist, cfg.perdir)
+        def mk():
+            @partial(shard_map, mesh=self.mesh, in_specs=self._specs(1),
+                     out_specs=self._level_specs(), check_vma=False)
+            def build(mu0_local):
+                ctx = make_ctx(axes, sizes, mu0_local.shape[1:])
+                return mg.make_mg_dist(mu0_local, ctx, masks, n_dist,
+                                       cfg.perdir)
 
-        return jax.jit(build)(self.state.mu0)
+            return jax.jit(build)
+
+        return _cached_fn(self._fn_key("build"), mk)(self.state.mu0)
 
     def _state_specs(self):
         return fl.FlowState(
@@ -230,16 +260,19 @@ class DistSimulation:
         state_specs = self._state_specs()
         stats_spec = (state_specs, P(), P(), P())
 
-        @partial(jax.jit, static_argnames=())
-        @partial(shard_map, mesh=self.mesh,
-                 in_specs=(state_specs, self._level_specs(), P(), P()),
-                 out_specs=stats_spec, check_vma=False)
-        def step(state, levels, dt, t0):
-            ctx = make_ctx(axes, sizes, state.p.shape)
-            return fl.mom_step_impl(cfg, state, levels, masks, dt, t0, udf,
-                                    None, ctx, n_dist)
+        def mk():
+            @partial(jax.jit, static_argnames=())
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(state_specs, self._level_specs(), P(), P()),
+                     out_specs=stats_spec, check_vma=False)
+            def step(state, levels, dt, t0):
+                ctx = make_ctx(axes, sizes, state.p.shape)
+                return fl.mom_step_impl(cfg, state, levels, masks, dt, t0,
+                                        udf, None, ctx, n_dist)
 
-        return step
+            return (udf, step)
+
+        return _cached_fn(self._fn_key("step3d", id(udf)), mk)[1]
 
     # -------------------------------------------------- flat (x, y·z) mode
     def _flat_setup(self):
@@ -279,44 +312,49 @@ class DistSimulation:
             u=fspec(1), u0=fspec(1), p=fspec(0), V=fspec(1), mu0=fspec(1),
             mu1=fspec(2), nu=P())
 
-        @jax.jit
-        @partial(shard_map, mesh=self.mesh,
-                 in_specs=(self._state_specs(),),
-                 out_specs=self._fstate_specs, check_vma=False)
-        def to_flat_state(state):
-            c = lambda a: fo.to_flat(a, gl)
-            return fl.FlowState(u=c(state.u), u0=c(state.u0), p=c(state.p),
-                                V=c(state.V), mu0=c(state.mu0),
-                                mu1=c(state.mu1), nu=state.nu)
+        def mk_layout_fns():
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(self._state_specs(),),
+                     out_specs=self._fstate_specs, check_vma=False)
+            def to_flat_state(state):
+                c = lambda a: fo.to_flat(a, gl)
+                return fl.FlowState(u=c(state.u), u0=c(state.u0),
+                                    p=c(state.p), V=c(state.V),
+                                    mu0=c(state.mu0), mu1=c(state.mu1),
+                                    nu=state.nu)
 
-        @jax.jit
-        @partial(shard_map, mesh=self.mesh, in_specs=(self._fstate_specs,),
-                 out_specs=(self._specs(1), self._specs(1), self._specs(0)),
-                 check_vma=False)
-        def to_3d_up(state):
-            return (fo.from_flat(state.u, gl), fo.from_flat(state.u0, gl),
-                    fo.from_flat(state.p, gl))
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh, in_specs=(self._fstate_specs,),
+                     out_specs=(self._specs(1), self._specs(1),
+                                self._specs(0)), check_vma=False)
+            def to_3d_up(state):
+                return (fo.from_flat(state.u, gl), fo.from_flat(state.u0, gl),
+                        fo.from_flat(state.p, gl))
 
-        @jax.jit
-        @partial(shard_map, mesh=self.mesh,
-                 in_specs=(self._specs(1), self._specs(1), self._specs(2)),
-                 out_specs=(fspec(1), fspec(1), fspec(2)), check_vma=False)
-        def coeffs_to_flat(V, mu0, mu1):
-            return fo.to_flat(V, gl), fo.to_flat(mu0, gl), fo.to_flat(mu1, gl)
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(self._specs(1), self._specs(1), self._specs(2)),
+                     out_specs=(fspec(1), fspec(1), fspec(2)), check_vma=False)
+            def coeffs_to_flat(V, mu0, mu1):
+                return (fo.to_flat(V, gl), fo.to_flat(mu0, gl),
+                        fo.to_flat(mu1, gl))
 
-        @jax.jit
-        @partial(shard_map, mesh=self.mesh, in_specs=(self._level_specs(),),
-                 out_specs=self._fmg_specs, check_vma=False)
-        def flatten_levels(levels):
-            return mgflat._flatten_stack(levels, gl, tuple(self.masks),
-                                         self.n_dist)
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(self._level_specs(),),
+                     out_specs=self._fmg_specs, check_vma=False)
+            def flatten_levels(levels):
+                return mgflat._flatten_stack(levels, gl, tuple(self.masks),
+                                             self.n_dist)
 
-        self._to_flat_state = to_flat_state
-        self._to_3d_up = to_3d_up
-        self._coeffs_to_flat = coeffs_to_flat
-        self._flatten_levels = flatten_levels
-        self._fstate = to_flat_state(self.state)
-        self._fmg = flatten_levels(self.levels)
+            return to_flat_state, to_3d_up, coeffs_to_flat, flatten_levels
+
+        (self._to_flat_state, self._to_3d_up, self._coeffs_to_flat,
+         self._flatten_levels) = _cached_fn(self._fn_key("flat_layout"),
+                                            mk_layout_fns)
+        self._fstate = self._to_flat_state(self.state)
+        self._fmg = self._flatten_levels(self.levels)
 
     def _flat_step_fn(self, udf):
         from ..models import flowflat as ffm
@@ -328,18 +366,21 @@ class DistSimulation:
         nxl = gl.Nx - 2
         stats_spec = (self._fstate_specs, P(), P(), P())
 
-        @jax.jit
-        @partial(shard_map, mesh=self.mesh,
-                 in_specs=(self._fstate_specs, self._fmg_specs, P(), P()),
-                 out_specs=stats_spec, check_vma=False)
-        def step(state, fmg, dt, t0):
-            fctx = DistCtx((axes[0],), (sizes[0],), (nxl,),
-                           (jax.lax.axis_index(axes[0]),))
-            ctx3 = make_ctx(axes, sizes, (nxl + 2,) + cfg.shape[1:])
-            return ffm.mom_step_flat_impl(cfg, state, fmg, masks, gl, dt, t0,
-                                          udf, fctx, ctx3, n_dist)
+        def mk():
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(self._fstate_specs, self._fmg_specs, P(), P()),
+                     out_specs=stats_spec, check_vma=False)
+            def step(state, fmg, dt, t0):
+                fctx = DistCtx((axes[0],), (sizes[0],), (nxl,),
+                               (jax.lax.axis_index(axes[0]),))
+                ctx3 = make_ctx(axes, sizes, (nxl + 2,) + cfg.shape[1:])
+                return ffm.mom_step_flat_impl(cfg, state, fmg, masks, gl, dt,
+                                              t0, udf, fctx, ctx3, n_dist)
 
-        return step
+            return (udf, step)
+
+        return _cached_fn(self._fn_key("stepflat", id(udf)), mk)[1]
 
     def _measure_fn(self):
         cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
@@ -348,20 +389,23 @@ class DistSimulation:
         out_specs = (self._specs(1), self._specs(1), self._specs(2),
                      self._level_specs())
 
-        @jax.jit
-        @partial(shard_map, mesh=self.mesh, in_specs=(P(), P()),
-                 out_specs=out_specs, check_vma=False)
-        def measure(body, t):
-            local_shape = tuple((cfg.shape[d] - 2) // sizes[d] + 2
-                                for d in range(cfg.D))
-            ctx = make_ctx(axes, sizes, local_shape)
-            V, mu0, mu1, _ = measure_fill(body, local_shape, t, eps_k,
-                                          cfg.dtype, cfg.perdir, cfg.exit_bc,
-                                          ctx)
-            levels = mg.make_mg_dist(mu0, ctx, masks, n_dist, cfg.perdir)
-            return V, mu0, mu1, levels
+        def mk():
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh, in_specs=(P(), P()),
+                     out_specs=out_specs, check_vma=False)
+            def measure(body, t):
+                local_shape = tuple((cfg.shape[d] - 2) // sizes[d] + 2
+                                    for d in range(cfg.D))
+                ctx = make_ctx(axes, sizes, local_shape)
+                V, mu0, mu1, _ = measure_fill(body, local_shape, t, eps_k,
+                                              cfg.dtype, cfg.perdir,
+                                              cfg.exit_bc, ctx)
+                levels = mg.make_mg_dist(mu0, ctx, masks, n_dist, cfg.perdir)
+                return V, mu0, mu1, levels
 
-        return measure
+            return measure
+
+        return _cached_fn(self._fn_key("measure", eps_k), mk)
 
     # ------------------------------------------------------------ driver
     @property
@@ -443,14 +487,11 @@ class DistSimulation:
         the single-device `Simulation.sim_step`."""
         if remeasure:
             self.measure()
-        # the cache entry holds a strong reference to udf and compares by
-        # identity — an `id()` key alone can alias a GC'd udf's recycled id
-        # to a stale compiled step
-        cache = getattr(self, "_step_cache", None)
-        if cache is None or cache[0] != self._flat_mode or cache[1] is not udf:
-            fn = self._flat_step_fn(udf) if self._flat_mode else self._step_fn(udf)
-            self._step_cache = (self._flat_mode, udf, fn)
-        step = self._step_cache[2]
+        # `_step_fn`/`_flat_step_fn` resolve through the global `_FN_CACHE`
+        # (strong udf references — a GC'd udf's recycled id can never alias
+        # a stale compiled step)
+        step = (self._flat_step_fn(udf) if self._flat_mode
+                else self._step_fn(udf))
         dt = jnp.asarray(self.sim.flow.dt[-1], self.cfg.dtype)
         t0 = jnp.asarray(self.time, self.cfg.dtype)
         if self._flat_mode:
@@ -480,24 +521,27 @@ class DistSimulation:
         in_specs = ((self._fstate_specs if flat else self._state_specs()),
                     P(), P(), P())
 
-        @jax.jit
-        @partial(shard_map, mesh=self.mesh, in_specs=in_specs,
-                 out_specs=(P(), P()), check_vma=False)
-        def force(state, body, t, x0):
-            if flat:
-                u, p = fo.from_flat(state.u, gl), fo.from_flat(state.p, gl)
-            else:
-                u, p = state.u, state.p
-            local_shape = p.shape
-            ctx = make_ctx(axes, sizes, local_shape)
-            off = offsets(ctx, local_shape)
-            f = (mt.pressure_force(p, body, t, off, ctx)
-                 + mt.viscous_force(u, state.nu, body, t, off, ctx))
-            m = (mt.pressure_moment(x0, p, body, t, off, ctx)
-                 + mt.viscous_moment(x0, u, state.nu, body, t, off, ctx))
-            return f, m
+        def mk():
+            @jax.jit
+            @partial(shard_map, mesh=self.mesh, in_specs=in_specs,
+                     out_specs=(P(), P()), check_vma=False)
+            def force(state, body, t, x0):
+                if flat:
+                    u, p = fo.from_flat(state.u, gl), fo.from_flat(state.p, gl)
+                else:
+                    u, p = state.u, state.p
+                local_shape = p.shape
+                ctx = make_ctx(axes, sizes, local_shape)
+                off = offsets(ctx, local_shape)
+                f = (mt.pressure_force(p, body, t, off, ctx)
+                     + mt.viscous_force(u, state.nu, body, t, off, ctx))
+                m = (mt.pressure_moment(x0, p, body, t, off, ctx)
+                     + mt.viscous_moment(x0, u, state.nu, body, t, off, ctx))
+                return f, m
 
-        return force
+            return force
+
+        return _cached_fn(self._fn_key("force", flat), mk)
 
     def _force_moment(self, x0=None):
         if not hasattr(self, "_force"):
@@ -524,10 +568,7 @@ class DistSimulation:
         """``n`` CFL steps of the decomposed flow in ONE device program
         (`lax.scan` around the shard_map step) — see
         `Simulation.sim_step_n`; static bodies only."""
-        key = ("scan", n, self._flat_mode)
-        cache = getattr(self, "_scan_cache", None)
-        # strong udf reference + identity check (same rationale as step_once)
-        if cache is None or cache[0] != key or cache[1] is not udf:
+        def mk():
             inner = (self._flat_step_fn(udf) if self._flat_mode
                      else self._step_fn(udf))
 
@@ -540,8 +581,10 @@ class DistSimulation:
 
                 return jax.lax.scan(one, (state, dt, t0), None, length=n)
 
-            self._scan_cache = (key, udf, run)
-        run = self._scan_cache[2]
+            return (udf, run)   # strong udf ref: its id can't recycle
+
+        run = _cached_fn(self._fn_key("scan", n, self._flat_mode,
+                                      id(udf)), mk)[1]
         dt = jnp.asarray(self.sim.flow.dt[-1], self.cfg.dtype)
         t0 = jnp.asarray(self.time, self.cfg.dtype)
         if self._flat_mode:

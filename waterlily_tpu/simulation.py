@@ -192,6 +192,7 @@ class Simulation:
                  fused_pc: Optional[bool] = None,
                  fine_smooth_it: Optional[int] = None,
                  fused_resid: Optional[bool] = None,
+                 mp_smooth: Optional[bool] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
         if U is None:
@@ -206,7 +207,8 @@ class Simulation:
         ctor = flow_ctor or fl.Flow
         tuning = {} if flow_ctor is not None else dict(
             smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc,
-            fine_smooth_it=fine_smooth_it, fused_resid=fused_resid)
+            fine_smooth_it=fine_smooth_it, fused_resid=fused_resid,
+            mp_smooth=mp_smooth)
         self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
                          perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
                          dtype=dtype, tol=tol, itmx=itmx, **tuning)
@@ -402,15 +404,19 @@ class Simulation:
         `sim_step(..., remeasure=True)` for those.  (The reference has no
         analog; its host loop at `WaterLily.jl:128-139` dispatches every
         kernel individually.)"""
+        from .parallel.dist import _cached_fn
+
         cfg = self.flow.cfg
-        # cfg is part of the key: `measure()` may widen cfg.band_x for a
-        # moving body, and the cached closure would silently keep the old
-        # one.  udf is held by strong reference and compared by identity —
-        # an `id(udf)` key alone can alias a GC'd udf's recycled id to a
-        # stale compiled scan.
-        key = ("scan", n, self._flat is not None, cfg)
-        cache = getattr(self, "_scan_cache", None)
-        if cache is None or cache[0] != key or cache[1] is not udf:
+        # cached across Simulation INSTANCES (reference/test pairs of the
+        # same config share one compile).  cfg is part of the key:
+        # `measure()` may widen cfg.band_x for a moving body, and a cached
+        # closure would silently keep the old one.  The entry holds strong
+        # references to udf/solve_fn, so an `id()` in the key can never
+        # alias a GC'd callable's recycled id to a stale compiled scan.
+        key = ("sim_scan", n, self._flat is not None, cfg,
+               id(udf), id(self.solve_fn))
+
+        def mk():
             if self._flat is not None:
                 from .models import flowflat as ff
 
@@ -435,8 +441,9 @@ class Simulation:
                 return jax.lax.scan(partial(one, solver=solver),
                                     (state, dt, t0), None, length=n)
 
-            self._scan_cache = (key, udf, run)
-        run = self._scan_cache[2]
+            return (udf, self.solve_fn, run)
+
+        run = _cached_fn(key, mk)[2]
         dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
         t0 = jnp.asarray(self.time, cfg.dtype)
         if self._flat is not None:

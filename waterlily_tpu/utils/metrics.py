@@ -31,6 +31,37 @@ def _acc_dtype(dtype):
     return jnp.float64 if jax.config.jax_enable_x64 else dtype
 
 
+def _fsum(a: jax.Array, lead: int) -> jax.Array:
+    """Accurate surface-integral reduction of ``(*lead, *grid)`` over the
+    grid axes.  The reference accumulates these sums in Float64
+    (`Metrics.jl:127`); TPUs have no fast f64, so instead: sum each leading-
+    axis slab with XLA's tree reduction (error ~eps·log n), then combine the
+    per-slab partials with a Neumaier-compensated scan — error stays
+    ~eps·log(plane) independent of the row count instead of growing with a
+    sequential f32 accumulation."""
+    acc = _acc_dtype(a.dtype)
+    if acc == jnp.float64:           # x64 on (CPU): plain f64 sum matches ref
+        return jnp.sum(a.astype(acc), axis=tuple(range(lead, a.ndim)))
+    return _fsum_comp(a, lead)
+
+
+def _fsum_comp(a: jax.Array, lead: int) -> jax.Array:
+    """The compensated (same-precision) branch of `_fsum`."""
+    rows = jnp.sum(a, axis=tuple(range(lead + 1, a.ndim)))  # (*lead, rows)
+    rows = jnp.moveaxis(rows, -1, 0)
+
+    def step(carry, v):
+        s, c = carry
+        t = s + v
+        # Neumaier: pick the larger-magnitude operand's rounding error
+        c = c + jnp.where(jnp.abs(s) >= jnp.abs(v), (s - t) + v, (v - t) + s)
+        return (t, c), None
+
+    (s, c), _ = jax.lax.scan(step, (jnp.zeros_like(rows[0]),
+                                    jnp.zeros_like(rows[0])), rows)
+    return s + c
+
+
 def dudx(i: int, j: int, u: jax.Array) -> jax.Array:
     """∂u_i/∂x_j at cell centers (`∂(i,j,I,u)`, `Metrics.jl:42-44`): exact
     staggered difference inline, 4-point average for cross terms."""
@@ -167,9 +198,7 @@ def pressure_force(p: jax.Array, body: Body, t=0.0, offset=None,
     from ..ops.dist import psum_all
 
     nds = nds_field(body, p.shape, t, p.dtype, offset)
-    acc = _acc_dtype(p.dtype)
-    f = jnp.sum((p[None] * nds).astype(acc), axis=tuple(range(1, p.ndim + 1)))
-    return psum_all(f, ctx)
+    return psum_all(_fsum(p[None] * nds, 1), ctx)
 
 
 def viscous_force(u: jax.Array, nu, body: Body, t=0.0, offset=None,
@@ -182,9 +211,8 @@ def viscous_force(u: jax.Array, nu, body: Body, t=0.0, offset=None,
     sp = u.shape[1:]
     nds = nds_field(body, sp, t, u.dtype, offset)
     S = strain_field(u)
-    acc = _acc_dtype(u.dtype)
     df = -2.0 * nu * jnp.einsum("ij...,j...->i...", S, nds)
-    return psum_all(jnp.sum(df.astype(acc), axis=tuple(range(1, u.ndim))), ctx)
+    return psum_all(_fsum(df, 1), ctx)
 
 
 def total_force(sim) -> jax.Array:
@@ -214,9 +242,7 @@ def pressure_moment(x0, p: jax.Array, body: Body, t=0.0, offset=None,
     nds = nds_field(body, p.shape, t, p.dtype, offset)
     rel = _rel_coords(p.shape, x0, p.dtype, offset)
     df = p[None] * _cross_field(rel, nds)
-    acc = _acc_dtype(p.dtype)
-    return psum_all(jnp.sum(df.astype(acc), axis=tuple(range(1, p.ndim + 1))),
-                    ctx)
+    return psum_all(_fsum(df, 1), ctx)
 
 
 def viscous_moment(x0, u: jax.Array, nu, body: Body, t=0.0, offset=None,
@@ -230,8 +256,7 @@ def viscous_moment(x0, u: jax.Array, nu, body: Body, t=0.0, offset=None,
     Sn = jnp.einsum("ij...,j...->i...", S, nds)
     rel = _rel_coords(sp, x0, u.dtype, offset)
     df = -2.0 * nu * _cross_field(rel, Sn)
-    acc = _acc_dtype(u.dtype)
-    return psum_all(jnp.sum(df.astype(acc), axis=tuple(range(1, u.ndim))), ctx)
+    return psum_all(_fsum(df, 1), ctx)
 
 
 def total_moment(x0, sim) -> jax.Array:
