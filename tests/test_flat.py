@@ -284,9 +284,11 @@ def test_band_bdim_parity_interpret():
         old = plf._INTERPRET
         plf._INTERPRET = True
         try:
+            # jitted step: one compile per cfg instead of per-op eager
+            # interpret dispatch (was the slowest test of the suite)
             for _ in range(2):
-                sf, dtf, _, _ = ff.mom_step_flat_impl(cfg, sf, fmg, masks, g,
-                                                      dt, t)
+                sf, dtf, _, _ = ff.mom_step_flat(cfg, sf, fmg, masks, g,
+                                                 dt, t)
                 t = t + dt
                 dt = dtf
         finally:

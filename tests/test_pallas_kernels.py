@@ -288,3 +288,60 @@ def test_mp_solve_converges():
     assert float(rinf) < 2e-3
     assert float(r1) < 2e-4 * n
     assert int(res.iters) < 32
+
+
+@pytest.mark.parametrize("mp", [False, True])
+def test_incr_gs_fused_tail(mp):
+    """`incr_gs` (fused fine increment + RB smooth) must equal the
+    sequential `increment_flat` → `gauss_seidel_rb_flat` pair — exactly in
+    f32, to bf16 resolution with mp."""
+    g, u, x, r, L, D, iD, ks = _fields()
+    r = fo.zero_ghost_flat(r, g)
+    eps = fo.zero_ghost_flat(0.3 * fo.to_flat(
+        jax.random.normal(ks[4], (12, 10, 7), F32), g), g)
+    om = jnp.float32(0.8)
+    colors = [(1 - 3 - k0) % 2 for k0 in range(1, 4)]
+    got = plf.incr_gs(x, r, eps, L, D, iD, colors, om, g, mp=mp)
+    plf._INTERPRET = False
+    x1, r1 = fo.increment_flat(L, D, x, r, eps, om, g)
+    want = fo.gauss_seidel_rb_flat(L, D, iD, x1, r1, g, it=3, omega=0.8)
+    plf._INTERPRET = True
+    tol = 0.05 if mp else 2e-5
+    for got_i, want_i in zip(got, want):
+        sc = max(1.0, float(jnp.abs(want_i).max()))
+        assert np.allclose(np.asarray(got_i), np.asarray(want_i),
+                           atol=tol * sc)
+
+
+def test_solve_fused_tail_matches_sequential():
+    """The full solve with the fused V-cycle tail equals the sequential
+    form bitwise-ish in f32 (same numerics, one fused kernel)."""
+    import os
+
+    from waterlily_tpu.ops import mgflat
+    from waterlily_tpu.ops import multigrid as mg3
+    from waterlily_tpu.ops.bc import bc_vector
+
+    shape3 = (18, 18, 18)
+    g = fo.geom_of(shape3)
+    mu0 = bc_vector(jnp.ones((3,) + shape3, F32), (0.0, 0.0, 0.0))
+    masks = tuple(mg3.level_shapes(shape3)[1])
+    levels = mg3.update_mg(None, masks, mu0, ())
+    fmg = mgflat._flatten_stack(levels, g, masks)
+    z = fo.zero_ghost_flat(
+        fo.to_flat(jax.random.normal(jax.random.PRNGKey(7), shape3, F32), g),
+        g)
+    z = z - fo.interior_mean_flat(z, g) * fo.inside_mask_flat(g, z.shape, F32)
+
+    def solve():
+        return mgflat.solve_mg_flat(fmg, masks, jnp.zeros_like(z), z, g,
+                                    tol=2e-3, itmx=32, smooth_it=3, unroll=0)
+
+    res_f = solve()
+    os.environ["WLTPU_FUSED_TAIL"] = "0"
+    try:
+        res_s = solve()
+    finally:
+        os.environ.pop("WLTPU_FUSED_TAIL", None)
+    assert int(res_f.iters) == int(res_s.iters)
+    assert np.allclose(np.asarray(res_f.x), np.asarray(res_s.x), atol=2e-5)

@@ -146,7 +146,8 @@ def _prolong_flat(xc: jax.Array, gc: FlatGeom, mask, gl: FlatGeom):
 def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
                   smooth_it: int = 4, l: int = 0,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
-                  n_dist: int = 0, mp: bool = False):
+                  n_dist: int = 0, mp: bool = False,
+                  defer_fine_inc: bool = False):
     """One V-cycle level step (`Vcycle!`, `MultiLevelPoisson.jl:88-101`) with
     levels < len(mids)+1 in flat layout.
 
@@ -175,9 +176,11 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
         xc, rc = gauss_seidel_rb_flat(clv.L, clv.D, clv.iD, xc, rc, gc,
                                       it=smooth_it, omega=omega, perdir=perdir,
                                       ctx=ctx, mp=mp)
-        return increment_flat(lv.L, lv.D, x, r,
-                              _prolong_flat(xc, gc, masks[l], gl), omega, gl,
-                              perdir, ctx)
+        eps = _prolong_flat(xc, gc, masks[l], gl)
+        if defer_fine_inc and l == 0:
+            # caller fuses this increment with the fine smooth (`incr_gs`)
+            return x, r, eps
+        return increment_flat(lv.L, lv.D, x, r, eps, omega, gl, perdir, ctx)
     elif ctx is not None and l == n_dist - 1:
         # coarse-grid gather: restrict the gathered residual, run the
         # replicated tail, slice the correction back (`v_cycle` transition)
@@ -201,8 +204,10 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
         xc, _ = gauss_seidel_rb(fmg.tail[0], xc, rc3, it=smooth_it,
                                 omega=omega, perdir=perdir, ctx=sub3)
         eps3 = mg.prolongate(xc, masks[l])
-    return increment_flat(lv.L, lv.D, x, r, to_flat(eps3, gl), omega, gl,
-                          perdir, ctx)
+    eps = to_flat(eps3, gl)
+    if defer_fine_inc and l == 0:
+        return x, r, eps
+    return increment_flat(lv.L, lv.D, x, r, eps, omega, gl, perdir, ctx)
 
 
 def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
@@ -242,14 +247,35 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
         x, r, r1, rinf, omega, n, stats = c
         return (n < itmx) & ((n == 0) | ~((r1 < r1tol) & (rinf < rinf_tol)))
 
+    import os as _os
+
+    from . import pallas_flat as plf
+
+    # fused V-cycle tail: the fine-level increment and the fine RB smooth
+    # run as ONE window pass (`pallas_flat.incr_gs`) — saves an x/r HBM
+    # round trip per solver iteration; numerics identical to the
+    # sequential pair (WLTPU_FUSED_TAIL=0 restores it)
+    fuse_tail = (plf.use_pallas_flat(x) and not perdir and ctx is None
+                 and _os.environ.get("WLTPU_FUSED_TAIL", "1") == "1")
+    it_fine = fine_smooth_it or smooth_it
+    colors_fine = [(1 - 3 - k0) % 2 for k0 in range(1, it_fine + 1)]
+
     def body(c):
         x, r, r1, rinf, omega, n, stats = c
-        x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
-                             perdir=perdir, ctx=ctx, ctx3=ctx3, n_dist=n_dist,
-                             mp=mp)
-        x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g,
-                                    it=fine_smooth_it or smooth_it,
-                                    omega=omega, perdir=perdir, ctx=ctx, mp=mp)
+        if fuse_tail:
+            x, r, eps = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
+                                      perdir=perdir, ctx=ctx, ctx3=ctx3,
+                                      n_dist=n_dist, mp=mp,
+                                      defer_fine_inc=True)
+            x, r = plf.incr_gs(x, r, eps, f.L, f.D, f.iD, colors_fine,
+                               omega, g, mp=mp)
+        else:
+            x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
+                                 perdir=perdir, ctx=ctx, ctx3=ctx3,
+                                 n_dist=n_dist, mp=mp)
+            x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g,
+                                        it=it_fine, omega=omega,
+                                        perdir=perdir, ctx=ctx, mp=mp)
         rnew, rinf = norms_flat(r, ctx)
         omega = jnp.where(rnew >= r1,
                           jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),

@@ -779,6 +779,136 @@ def jacobi_incr(x, r, L, D, iD, omega, g: FlatGeom, mp: bool = False):
     return gs_incr(x, r, L, D, iD, [], omega, g, mp)
 
 
+def incr_gs(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
+            D: jax.Array, iD: jax.Array, colors, omega, g: FlatGeom,
+            mp: bool = False):
+    """Fused coarse-correction increment + fine red-black smooth — the tail
+    of every MG iteration (`increment!` then `GaussSeidelRB!(fine)`,
+    `MultiLevelPoisson.jl:100,115`) in ONE window pass over x/r:
+
+        r₁ = r − ω·A·eps            (on all window rows; eps halo is +1)
+        e  = RB-cascade(r₁)         (comm-avoiding, as `gs_incr`)
+        x' = x + ω·(eps + e)·ins,   r' = r₁ − ω·A·e·ins
+
+    exactly the sequential `increment_k` → `gs_incr` pair, minus one full
+    x/r HBM round trip and one kernel dispatch per solver iteration.
+    ``mp`` as in `gs_incr` (cascade + coefficients bf16; r₁/x/r' f32,
+    comparisons f32 — bf16 compares crash this Mosaic toolchain)."""
+    Nx, S = g.Nx, g.S
+    it = len(colors)
+    h = it + 1           # r/iD/D halo (cascade depth); eps/L carry h+1
+    cdt = jnp.bfloat16 if mp else jnp.float32
+
+    def body(win, aux, scalars, ox, cos, bx):
+        om = scalars[0]
+        yv, zv, ins = aux
+        xw, rw, ew, idw_w, dw, l0w, l1w, l2w = win
+        co = cos[1]          # r-window center offset
+        coe = cos[2]         # eps/L-window center offset (halo h+1)
+        W = rw.shape[0]
+        We = ew.shape[0]
+        sliced = (it > 0 and W < Nx and W - it - 2 >= bx
+                  and os.environ.get("WLTPU_GS_SLICED", "1") == "1")
+
+        def inner(ap_ref, r1_ref, r1c_ref, e_ref, l1s_ref, l2s_ref, par_ref,
+                  ins_ref):
+            gx = jax.lax.broadcasted_iota(jnp.int32, (W, S, 128), 0) \
+                + (ox - co)
+            insw = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
+            # eps rows aligned to r rows: r row j == eps row j + (coe - co);
+            # A·eps is formed on the FULL eps window with row-rotate shifts
+            # (their wrap garbage lands only on global ghost rows, which
+            # insw zeroes) and sliced through a scratch ref — per-row pl.ds
+            # starts would clamp at edge blocks and misalign every row, and
+            # dynamic_slice on VALUES has no Mosaic lowering
+            de = coe - co
+            ef = ew[:]
+            apf = ef * dw[:]
+            apf = apf + _rshift(ef, -1) * l0w[:] \
+                + _rshift(ef, 1) * _rshift(l0w[:], 1)
+            apf = apf + _pshift(ef, -g.Nz) * l1w[:] \
+                + _pshift(ef, g.Nz) * _pshift(l1w[:], g.Nz)
+            apf = apf + _pshift(ef, -1) * l2w[:] \
+                + _pshift(ef, 1) * _pshift(l2w[:], 1)
+            ap_ref[:] = apf.astype(jnp.float32)
+            r1_ref[:] = rw[:] - om * ap_ref[pl.ds(de, W)] * insw
+            if mp:
+                r1c_ref[:] = r1_ref[:].astype(cdt)
+                rv = r1c_ref
+            else:
+                rv = r1_ref
+            e_ref[:] = rv[:] * idw_w[:] * insw.astype(cdt)
+            if sliced:
+                ins_ref[:] = insw
+                par_ref[:] = (gx.astype(jnp.float32) + yv + zv) % 2.0
+                l1s_ref[:] = _pshift(l1w[pl.ds(de, W)], g.Nz)
+                l2s_ref[:] = _pshift(l2w[pl.ds(de, W)], 1)
+                ws = ox - co
+                for k, color in enumerate(colors):
+                    n = W - k - 2
+                    s = jnp.where(ws == 0, 1, k + 1)
+                    e_c = e_ref[pl.ds(s, n)]
+                    sv = rv[pl.ds(s, n)]
+                    sv = sv - (e_ref[pl.ds(s - 1, n)] * l0w[pl.ds(de + s, n)]
+                               + e_ref[pl.ds(s + 1, n)]
+                               * l0w[pl.ds(de + s + 1, n)])
+                    sv = sv - (_pshift(e_c, -g.Nz) * l1w[pl.ds(de + s, n)]
+                               + _pshift(e_c, g.Nz) * l1s_ref[pl.ds(s, n)])
+                    sv = sv - (_pshift(e_c, -1) * l2w[pl.ds(de + s, n)]
+                               + _pshift(e_c, 1) * l2s_ref[pl.ds(s, n)])
+                    insl = ins_ref[pl.ds(s, n)]
+                    e_ref[pl.ds(s, n)] = jnp.where(
+                        (par_ref[pl.ds(s, n)] == float(color)) & (insl > 0),
+                        sv * idw_w[pl.ds(s, n)], e_c)
+            elif it > 0:
+                Ls = [l0w[pl.ds(de, W)], l1w[pl.ds(de, W)],
+                      l2w[pl.ds(de, W)]]
+                par = (gx.astype(jnp.float32) + yv + zv) % 2.0
+                e_ref[:] = _gauss_cascade(rv[:], idw_w[:], Ls, e_ref[:],
+                                          colors, par, insw, g)
+            e_c = e_ref[pl.ds(co, bx)]
+            aeps = e_c * dw[pl.ds(coe, bx)]
+            aeps = aeps + e_ref[pl.ds(co - 1, bx)] * l0w[pl.ds(coe, bx)] \
+                + e_ref[pl.ds(co + 1, bx)] * l0w[pl.ds(coe + 1, bx)]
+            l1c = l1w[pl.ds(coe, bx)]
+            l2c = l2w[pl.ds(coe, bx)]
+            aeps = aeps + _pshift(e_c, -g.Nz) * l1c \
+                + _pshift(e_c, g.Nz) * _pshift(l1c, g.Nz)
+            aeps = aeps + _pshift(e_c, -1) * l2c \
+                + _pshift(e_c, 1) * _pshift(l2c, 1)
+            gxc = jax.lax.broadcasted_iota(jnp.int32, e_c.shape, 0) + ox
+            mc = ins * jnp.where((gxc >= 1) & (gxc <= Nx - 2), 1.0, 0.0)
+            e_al_c = ew[pl.ds(coe, bx)]
+            x_new = xw[:] + om * (e_al_c.astype(jnp.float32)
+                                  + e_c.astype(jnp.float32)) * mc
+            r_new = r1_ref[pl.ds(co, bx)] - om * aeps.astype(jnp.float32) * mc
+            return [x_new, r_new]
+
+        scr = pltpu.VMEM((W, S, 128), cdt)
+        scr32 = pltpu.VMEM((W, S, 128), jnp.float32)
+        ap_scr = pltpu.VMEM((We, S, 128), jnp.float32)
+        mini = pltpu.VMEM((1, 1, 128), jnp.float32)
+        r1c = scr if mp else mini
+        return pl.run_scoped(inner, ap_scr, scr32, r1c, scr, scr, scr,
+                             scr32, scr32)
+
+    pipe = os.environ.get("WLTPU_GS_PIPE", "1") == "1"
+    bx = _gs_bx(S, h + 3)      # bigger live set than gs_incr: shrink blocks
+    call = _halo_call(body, Nx, S, n_scalar=1,
+                      halos=[0, h, h + 1, h, h + 1, h + 1, h + 1, h + 1],
+                      n_aux=3, n_out=2, bx=bx, vmem_mb=128, pipeline=pipe,
+                      in_dtypes=[jnp.float32, jnp.float32, jnp.float32,
+                                 cdt, cdt, cdt, cdt, cdt])
+    om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
+    if mp:
+        iD, D, L = iD.astype(cdt), D.astype(cdt), L.astype(cdt)
+    xo, ro = call([om1], [x, r, eps, iD, D, L[0], L[1], L[2]], _planes(g))
+    zrow = jnp.zeros((1, S, 128), jnp.float32)
+    xo = _fix_ghost_rows(xo, x[0:1], x[-1:])
+    ro = _fix_ghost_rows(ro, zrow, zrow)
+    return xo, ro
+
+
 def _bc_update(uw, Ui, ix, i, yv, zv, g: FlatGeom, save_exit: bool,
                x_ghosts: bool = True):
     """The `BC!` update sequence (`src/core.jl:199-224`) for component ``i``
