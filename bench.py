@@ -98,8 +98,13 @@ def _measure(N: int, steps: int, engine: str):
     # V-cycle counts on TPU (the dual-norm stop keeps the solve tolerance
     # identical); the library default stays 4 for the reference's
     # iteration-cap parity gates.
+    # smooth_it=3 + mp_smooth: the measured perf config (library defaults
+    # stay reference-strength f32; the dual-norm stop keeps the solve
+    # tolerance identical — 256^3 settles at the same [1,1] iterations and
+    # dt with and without mp, 44.3 vs 48.2 ms/step)
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
                      body=body, dtype=jnp.float32, smooth_it=3,
+                     mp_smooth=True,
                      engine="auto" if engine == "flat" else "3d")
     cfg = sim.flow.cfg
 

@@ -48,6 +48,7 @@ def main():
     n50 = 50 * sim.L / sim.U / mean_dt
     print(f"{ms:.3f} ms/step  {rate / 1e6:.1f} Mcell/s  dt={dt_last:.3f}  "
           f"-> 50 tU/L in ~{n50 * ms / 1e3:.1f} s ({n50:.0f} steps)")
+    print(f"# pois_n tail: {sim.pois_n[-8:]}")
 
 
 if __name__ == "__main__":

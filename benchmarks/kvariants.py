@@ -63,7 +63,8 @@ def main():
     # uniform-interior coefficients (no body): exactly the far-field L.
     # ONE jitted program for the whole build — the eager form is minutes of
     # per-op dispatch round trips on the tunneled backend
-    masks = tuple(mg3.level_shapes(shape)[1])
+    masks = tuple(mg3.level_shapes(
+        shape, min_cells=mg3._MIN_COARSE_CELLS)[1])   # the Simulation stack
 
     @jax.jit
     def build():

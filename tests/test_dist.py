@@ -67,8 +67,12 @@ def test_3d_sphere_2d_mesh():
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
     mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
                             body=body, dtype=F32)
+    # 3e-5: the f32 paths are tolerance-equal, not bitwise (identical pois_n
+    # and dt; executables reorder reductions) — measured drift 1.2e-5 after
+    # 3 steps.  The discriminating bitwise-grade check is the f64 flat-dist
+    # suite below (1e-11) and the f64 dryrun parity gate (1e-10).
     assert_match(run_ref(mk, remeasure=False),
-                 run_dist(mk, (4, 2), remeasure=False))
+                 run_dist(mk, (4, 2), remeasure=False), atol=3e-5)
 
 
 def test_moving_body_remeasure():

@@ -25,7 +25,7 @@ from . import multigrid as mg
 from .flat import (FlatGeom, from_flat, gauss_seidel_rb_flat, geom_of,
                    increment_flat, inside_mask_flat, jacobi_flat, norms_flat,
                    residual_flat, set_diag_flat, to_flat)
-from .poisson import PoissonLevel, gauss_seidel_rb
+from .poisson import PoissonLevel, coarse_solve
 
 __all__ = ["FlatMG", "make_mg_flat", "update_mg_flat", "solve_mg_flat"]
 
@@ -60,9 +60,12 @@ def _n_flat(g: FlatGeom, masks) -> int:
 
 
 def make_mg_flat(mu0_3d: jax.Array, maxlevels: int = 10,
-                 perdir: tuple[int, ...] = ()):
-    """Build (flat_mg, masks, geom) from the fine 3D face coefficients."""
-    levels, masks = mg.make_mg(mu0_3d, perdir, maxlevels)
+                 perdir: tuple[int, ...] = (),
+                 min_cells: int = mg._MIN_COARSE_CELLS):
+    """Build (flat_mg, masks, geom) from the fine 3D face coefficients.
+    Defaults to the same coarse-level floor as `Simulation` (the flat engine
+    IS the TPU flow path; the coarsest level gets the dense exact solve)."""
+    levels, masks = mg.make_mg(mu0_3d, perdir, maxlevels, min_cells)
     g = geom_of(mu0_3d.shape[1:])
     return _flatten_stack(levels, g, masks), masks, g
 
@@ -190,8 +193,8 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
         if len(fmg.tail) > 1:
             xc, rc3 = mg.v_cycle(fmg.tail, masks[l + 1:], xc, rc3, omega,
                                  perdir, 0, smooth_it)
-        xc, _ = gauss_seidel_rb(fmg.tail[0], xc, rc3, it=smooth_it,
-                                omega=omega, perdir=perdir)
+        xc, _ = coarse_solve(fmg.tail[0], xc, rc3, it=smooth_it,
+                             omega=omega, perdir=perdir)
         eps3 = slice_local(mg.prolongate(xc, masks[l]), ctx3)
     else:
         rc3 = mg.restrict(from_flat(r, gl), masks[l])
@@ -201,8 +204,8 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
         if len(fmg.tail) > 1:
             xc, rc3 = mg.v_cycle(fmg.tail, masks[l + 1:], xc, rc3, omega,
                                  perdir, 0, smooth_it, sub3, nd_tail)
-        xc, _ = gauss_seidel_rb(fmg.tail[0], xc, rc3, it=smooth_it,
-                                omega=omega, perdir=perdir, ctx=sub3)
+        xc, _ = coarse_solve(fmg.tail[0], xc, rc3, it=smooth_it,
+                             omega=omega, perdir=perdir, ctx=sub3)
         eps3 = mg.prolongate(xc, masks[l])
     eps = to_flat(eps3, gl)
     if defer_fine_inc and l == 0:

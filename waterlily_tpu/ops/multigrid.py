@@ -24,8 +24,8 @@ from .bc import bc_vector, per_bc
 from .dist import (DistCtx, gather_scalar, global_inside_count, psum_all,
                    slice_local, sync_scalar)
 from .grid import grow, interior
-from .poisson import (PoissonLevel, gauss_seidel_rb, jacobi, increment,
-                      make_level, l1n_tol, norms, residual)
+from .poisson import (PoissonLevel, coarse_solve, gauss_seidel_rb, jacobi,
+                      increment, make_level, l1n_tol, norms, residual)
 
 __all__ = [
     "divisible", "coarsen_mask", "coarse_shape", "level_shapes",
@@ -52,14 +52,35 @@ def coarse_shape(shape: tuple[int, ...], c: tuple[bool, ...]) -> tuple[int, ...]
     return tuple(1 + n // 2 if ci else n for n, ci in zip(shape, c))
 
 
-def level_shapes(shape: tuple[int, ...], maxlevels: int = 10):
+_MIN_COARSE_CELLS = 64   # flow-path interior-cell floor for coarse levels
+
+
+def level_shapes(shape: tuple[int, ...], maxlevels: int = 10,
+                 min_cells: int = 0):
     """Shapes and per-transition coarsening masks of the level stack
-    (`MultiLevelPoisson.jl:68-77`)."""
+    (`MultiLevelPoisson.jl:68-77`).
+
+    By default the stack coarsens to indivisibility like the reference —
+    required for COLD solves of global-mode-rich right-hand sides (the
+    manufactured-solution gates stall without the deep coarse levels).
+    ``min_cells > 0`` stops coarsening before a level would drop below that
+    interior-cell count (once ≥3 levels exist): sub-100-cell levels are pure
+    kernel-launch latency on an accelerator — measured on the 2D README
+    circle (384×256), cutting the 8-level stack to 6 is 23.9 → 1.7 ms/step
+    at identical iteration counts.  `Simulation`/`DistSimulation` pass
+    ``_MIN_COARSE_CELLS``: their solves are warm-started every step and the
+    dual-norm stop guarantees solve quality regardless of cycle strength
+    (a too-weak cycle costs iterations, never silent inaccuracy) — every
+    physics gate (TGV 1e-4, added-mass ±0.04, ≤2-iteration caps) holds."""
     shapes, masks = [tuple(shape)], []
     while any(coarsen_mask(shapes[-1])) and len(shapes) <= maxlevels:
         c = coarsen_mask(shapes[-1])
+        nxt = coarse_shape(shapes[-1], c)
+        if (len(shapes) >= 3
+                and math.prod(n - 2 for n in nxt) < min_cells):
+            break
         masks.append(c)
-        shapes.append(coarse_shape(shapes[-1], c))
+        shapes.append(nxt)
     if len(shapes) <= 2:
         raise ValueError("MultiLevelPoisson requires size=a2^n, where n>2")
     return shapes, masks
@@ -121,27 +142,28 @@ def restrict_L(Lf: jax.Array, c: tuple[bool, ...],
     return bc_vector(Lc, (0.0,) * D, save_exit=False, perdir=perdir, ctx=ctx)
 
 
-def make_mg(mu0: jax.Array, perdir: tuple[int, ...] = (), maxlevels: int = 10):
+def make_mg(mu0: jax.Array, perdir: tuple[int, ...] = (), maxlevels: int = 10,
+            min_cells: int = 0):
     """Build the level stack from the fine face coefficients (= the BDIM
     zeroth moment ``mu0``, `src/WaterLily.jl:97`).  Returns
-    ``(levels, masks)``; ``masks`` is static python data."""
-    shapes, masks = level_shapes(mu0.shape[1:], maxlevels)
-    levels = [make_level(mu0)]
-    L = mu0
-    for c in masks:
-        L = restrict_L(L, c, perdir)
-        levels.append(make_level(L))
-    return tuple(levels), tuple(masks)
+    ``(levels, masks)``; ``masks`` is static python data.  The coarsest
+    level carries the dense exact-solve pseudo-inverse (`dense_pinv`)."""
+    shapes, masks = level_shapes(mu0.shape[1:], maxlevels, min_cells)
+    return update_mg(None, tuple(masks), mu0, perdir), tuple(masks)
 
 
 def update_mg(levels, masks, mu0: jax.Array, perdir: tuple[int, ...] = ()):
     """Re-restrict the coefficients down every level after a body re-measure
-    (`update!`, `MultiLevelPoisson.jl:79-86`)."""
+    (`update!`, `MultiLevelPoisson.jl:79-86`); re-derives the coarsest
+    level's dense pseudo-inverse."""
+    from .poisson import dense_pinv
+
     new = [make_level(mu0)]
     L = mu0
     for c in masks:
         L = restrict_L(L, c, perdir)
         new.append(make_level(L))
+    new[-1] = dense_pinv(new[-1], perdir)
     return tuple(new)
 
 
@@ -168,8 +190,8 @@ def v_cycle(levels, masks, x: jax.Array, r: jax.Array, omega,
         if l + 1 < len(levels) - 1:
             xc, rc = v_cycle(levels, masks, xc, rc, omega, perdir, l + 1,
                              smooth_it)
-        xc, rc = gauss_seidel_rb(coarse, xc, rc, it=smooth_it, omega=omega,
-                                 perdir=perdir)
+        xc, rc = coarse_solve(coarse, xc, rc, it=smooth_it, omega=omega,
+                              perdir=perdir)
         eps = slice_local(prolongate(xc, c), ctx)
         return increment(fine, x, r, eps, omega, perdir, ctx)
     sub = ctx if (ctx is not None and l + 1 < n_dist) else None
@@ -180,20 +202,21 @@ def v_cycle(levels, masks, x: jax.Array, r: jax.Array, omega,
     if l + 1 < len(levels) - 1:
         xc, rc = v_cycle(levels, masks, xc, rc, omega, perdir, l + 1,
                          smooth_it, ctx, n_dist)
-    xc, rc = gauss_seidel_rb(coarse, xc, rc, it=smooth_it, omega=omega,
-                             perdir=perdir, ctx=sub)
+    xc, rc = coarse_solve(coarse, xc, rc, it=smooth_it, omega=omega,
+                          perdir=perdir, ctx=sub)
     eps = prolongate(xc, c)
     return increment(fine, x, r, eps, omega, perdir,
                      ctx if l < n_dist else None)
 
 
 def dist_n_levels(global_shape: tuple[int, ...], sizes: tuple[int, ...],
-                  maxlevels: int = 10) -> tuple[list, list, int]:
+                  maxlevels: int = 10,
+                  min_cells: int = 0) -> tuple[list, list, int]:
     """Level shapes/masks plus the distributed-prefix length: a level stays
     distributed while every mesh-split dim keeps an even split with >= 2
     interior cells per shard; coarser levels are replicated (coarse-grid
     gather)."""
-    shapes, masks = level_shapes(global_shape, maxlevels)
+    shapes, masks = level_shapes(global_shape, maxlevels, min_cells)
 
     def dist_ok(shape):
         for d, k in enumerate(sizes):
@@ -209,6 +232,10 @@ def dist_n_levels(global_shape: tuple[int, ...], sizes: tuple[int, ...],
             n_dist += 1
         else:
             break
+    # the coarsest level always joins the replicated tail: it carries the
+    # dense exact coarse solve, which must see the GLOBAL grid — and the
+    # single-device stack does the same, keeping iteration-count parity
+    n_dist = min(n_dist, len(shapes) - 1)
     return shapes, masks, n_dist
 
 
@@ -235,6 +262,13 @@ def make_mg_dist(mu0_local: jax.Array, ctx, masks, n_dist: int,
         else:
             L = restrict_L(L, c, perdir)
         levels.append(make_level(L))
+    if not distributed:
+        # exact dense coarse solve on the replicated coarsest (a distributed
+        # coarsest keeps the GS fallback — `dist_n_levels` caps n_dist so
+        # this only happens on meshes too large to ever gather)
+        from .poisson import dense_pinv
+
+        levels[-1] = dense_pinv(levels[-1], perdir)
     return tuple(levels)
 
 

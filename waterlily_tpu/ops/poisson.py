@@ -31,6 +31,7 @@ from .grid import index_sum_parity, interior, grow, shift
 __all__ = [
     "PoissonLevel", "make_level", "set_diag", "mult", "residual", "increment",
     "jacobi", "gauss_seidel_rb", "pcg", "norms", "solve", "l1n_tol",
+    "dense_pinv", "coarse_solve",
 ]
 
 
@@ -38,6 +39,10 @@ class PoissonLevel(NamedTuple):
     L: jax.Array    # (D, *Ng) lower-face coefficients
     D: jax.Array    # (*Ng) diagonal, 0 in ghosts
     iD: jax.Array   # (*Ng) 1/diagonal, 0 where D == 0
+    Ainv: jax.Array | None = None   # dense pseudo-inverse over interior
+                                    # cells — set on the COARSEST level only
+                                    # (exact one-matmul coarse solve; see
+                                    # `dense_pinv`/`coarse_solve`)
 
 
 def _zero_ghost(a: jax.Array) -> jax.Array:
@@ -176,6 +181,63 @@ def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
             # zeroed, so this is a no-op there except for periodic wrap)
             eps = sync_scalar(eps, ctx, perdir)
     return increment(p, x, r, eps, omega, perdir, ctx)
+
+
+_DENSE_COARSE_MAX = 1024     # interior-cell cap for the dense coarse solve
+                             # (the min_cells=64 floor bounds a floored
+                             # coarsest at 2^D·64 ≤ 512 cells)
+
+
+def dense_pinv(p: PoissonLevel, perdir: tuple[int, ...] = ()) -> PoissonLevel:
+    """Attach the dense pseudo-inverse of the level operator over its
+    interior cells (the MXU-native exact coarse-grid solve; classic MG
+    practice the reference approximates with recursion + GS sweeps,
+    `MultiLevelPoisson.jl:96-99`).  A is assembled by applying the matrix-
+    free stencil to the identity basis; `pinv` handles both null spaces
+    (the all-Neumann constant mode and BDIM dead cells, whose rows/cols are
+    zero).  The pinv is `stop_gradient`-ed: the solve's DERIVATIVE quality
+    comes from residual convergence (implicit JVP / lagged tangents), not
+    from differentiating the solver's internals — and the SVD JVP is
+    undefined at A's structural zero singular values."""
+    sp = p.D.shape
+    n = math.prod(d - 2 for d in sp)
+    if n > _DENSE_COARSE_MAX:
+        return p
+    dtype = p.D.dtype
+    eye = jnp.eye(n, dtype=dtype)
+
+    def col(e):
+        x = grow(e.reshape(tuple(d - 2 for d in sp)))
+        x = sync_scalar(x, None, perdir)
+        s = x * p.D
+        for i in range(p.L.shape[0]):
+            s = s + shift(x, i, -1) * p.L[i] \
+                + shift(x, i, 1) * shift(p.L[i], i, 1)
+        return interior(s).reshape(-1)
+
+    A = jax.vmap(col)(eye)       # symmetric, so row/col order is immaterial
+    Ainv = jax.lax.stop_gradient(jnp.linalg.pinv(A))
+    return PoissonLevel(p.L, p.D, p.iD, Ainv)
+
+
+def coarse_solve(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
+                 omega=1.0, perdir: tuple[int, ...] = (), ctx=None):
+    """Coarsest-level solve: the exact dense correction ``eps = A⁺ r`` when
+    the level carries `Ainv` (one matmul — no launch-latency-bound recursion
+    into sub-100-cell levels), else the reference's red-black GS sweeps."""
+    if p.Ainv is None:
+        return gauss_seidel_rb(p, x, r, it, omega, perdir, ctx)
+    sp = r.shape
+    # matvec as broadcast-multiply + axis-reduce, NOT dot_general: the GEMM
+    # reduction split depends on the executable context (threads/partitions),
+    # so a dot here breaks bitwise parity between the single-device and
+    # shard_map-replicated solves.  At this size (≤1024²) the VPU reduce is
+    # free; determinism is the point.
+    ri = interior(r).reshape(-1)
+    eps = grow(jnp.sum(p.Ainv * ri[None, :], axis=1).reshape(
+        tuple(d - 2 for d in sp)))
+    # full correction (exact solve): ω-relaxation would only undo it
+    return increment(p, x, r, eps, 1.0, perdir, ctx)
 
 
 def _pdot(a: jax.Array, b: jax.Array) -> jax.Array:

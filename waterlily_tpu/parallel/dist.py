@@ -166,10 +166,16 @@ class DistSimulation:
             if k > 1 and (n % k != 0 or n // k < 2):
                 raise ValueError(
                     f"dim {d}: interior {n} not evenly divisible over {k} shards")
-        shapes, masks, n_dist = mg.dist_n_levels(cfg.shape, self.sizes)
+        shapes, masks, n_dist = mg.dist_n_levels(
+            cfg.shape, self.sizes, min_cells=mg._MIN_COARSE_CELLS)
         if n_dist < 1:
             raise ValueError("grid too small to distribute over this mesh")
         self.masks, self.n_dist = tuple(masks), n_dist
+        from ..ops.poisson import _DENSE_COARSE_MAX
+
+        # does the replicated coarsest level carry the dense-solve pinv?
+        self._coarse_dense = (math.prod(d - 2 for d in shapes[-1])
+                              <= _DENSE_COARSE_MAX)
         self.sim = sim
         self.cfg = cfg
         # blocked, sharded device state
@@ -210,12 +216,14 @@ class DistSimulation:
 
     def _level_specs(self):
         """out_specs for the level stack: distributed prefix sharded,
-        replicated tail."""
+        replicated tail; the coarsest carries the dense-solve pinv leaf."""
         out = []
         for l in range(self.n_levels):
             if l < self.n_dist:
                 out.append(mg.PoissonLevel(self._specs(1), self._specs(0),
                                            self._specs(0)))
+            elif l == self.n_levels - 1 and self._coarse_dense:
+                out.append(mg.PoissonLevel(P(), P(), P(), P()))
             else:
                 out.append(mg.PoissonLevel(P(), P(), P()))
         return tuple(out)
@@ -304,6 +312,8 @@ class DistSimulation:
                 lvl_specs.append(mg.PoissonLevel(self._specs(1),
                                                  self._specs(0),
                                                  self._specs(0)))
+            elif l == self.n_levels - 1 and self._coarse_dense:
+                lvl_specs.append(mg.PoissonLevel(P(), P(), P(), P()))
             else:           # 3D, replicated
                 lvl_specs.append(mg.PoissonLevel(P(), P(), P()))
         self._fmg_specs = mgflat.FlatMG(lvl_specs[0], tuple(lvl_specs[1:nf]),

@@ -229,8 +229,11 @@ class Simulation:
             raise ValueError("flat engine needs psolver='mg' and D=3")
         if psolver == "mg":
             # the whole device-side build (measure + MG stack + flat layout +
-            # band bounds) runs as ONE program — see `_build_jit`
-            self.masks = tuple(mg.level_shapes(cfg.shape)[1])
+            # band bounds) runs as ONE program — see `_build_jit`.
+            # Flow solves are warm-started with a dual-norm stop, so the
+            # TPU coarse-level floor applies (see `mg.level_shapes`)
+            self.masks = tuple(mg.level_shapes(
+                cfg.shape, min_cells=mg._MIN_COARSE_CELLS)[1])
             self.solve_fn = None
             state, self.levels, band, fstate, fmg = _build_jit(
                 self.body if has_body else None, self.flow.state,
