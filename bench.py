@@ -94,17 +94,20 @@ def _measure(N: int, steps: int, engine: str):
     radius = N // 8
     ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius)
-    # smooth_it=3: measured faster than the reference-default 4 at equal
-    # V-cycle counts on TPU (the dual-norm stop keeps the solve tolerance
-    # identical); the library default stays 4 for the reference's
-    # iteration-cap parity gates.
-    # smooth_it=3 + mp_smooth: the measured perf config (library defaults
-    # stay reference-strength f32; the dual-norm stop keeps the solve
-    # tolerance identical — 256^3 settles at the same [1,1] iterations and
-    # dt with and without mp, 44.3 vs 48.2 ms/step)
+    # smooth_it=2 + mp_smooth: the measured perf config (library defaults
+    # stay reference-strength f32/4-sweep for the iteration-cap parity
+    # gates; the dual-norm stop keeps the solve tolerance identical).
+    # With the dense exact coarse solve backing the V-cycle, 256^3 settles
+    # at the same [1,1] iterations and dt=0.477 across smooth_it∈{2,3} and
+    # mp∈{on,off}: 38.3 / 44.3 / 48.2 ms per step (smooth2+mp / smooth3+mp /
+    # smooth3).  Raising the coarse floor to 512 cells was a measured loss
+    # (41.5 ms) — WLTPU_BENCH_MIN_COARSE stays at the library default 64.
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
-                     body=body, dtype=jnp.float32, smooth_it=3,
-                     mp_smooth=True,
+                     body=body, dtype=jnp.float32,
+                     smooth_it=int(os.environ.get("WLTPU_BENCH_SMOOTH_IT", "2")),
+                     mp_smooth=os.environ.get("WLTPU_BENCH_MP", "1") == "1",
+                     min_coarse_cells=int(os.environ.get(
+                         "WLTPU_BENCH_MIN_COARSE", "64")),
                      engine="auto" if engine == "flat" else "3d")
     cfg = sim.flow.cfg
 

@@ -35,7 +35,10 @@ def main():
     cells = (24 * radius) * (16 * radius)
     print(f"# grid {sim.flow.cfg.shape} ({cells / 1e3:.0f}k cells), "
           f"backend={jax.default_backend()}")
-    sim.sim_step_n(3)          # compile + settle dt
+    # warm with the SAME scan length as the timed block — a different length
+    # is a different XLA program, and its compile would land inside the
+    # timed region (first run of this harness measured exactly that)
+    sim.sim_step_n(steps)      # compile + settle dt
     probe = float(jnp.asarray(sim.flow.dt[-1]))
     t0 = time.perf_counter()
     sim.sim_step_n(steps)

@@ -15,6 +15,7 @@ so a full pressure solve is a single XLA computation with no host round trips.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -52,7 +53,11 @@ def coarse_shape(shape: tuple[int, ...], c: tuple[bool, ...]) -> tuple[int, ...]
     return tuple(1 + n // 2 if ci else n for n, ci in zip(shape, c))
 
 
-_MIN_COARSE_CELLS = 64   # flow-path interior-cell floor for coarse levels
+# flow-path interior-cell floor for coarse levels; env knob for perf tuning
+# (the coarsest floored level gets the dense exact solve — see
+# `poisson.dense_pinv` — so raising the floor trades tiny-kernel launch
+# latency for a larger one-matvec coarse solve)
+_MIN_COARSE_CELLS = int(os.environ.get("WLTPU_MIN_COARSE_CELLS", "64"))
 
 
 def level_shapes(shape: tuple[int, ...], maxlevels: int = 10,

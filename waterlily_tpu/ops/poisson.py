@@ -17,6 +17,7 @@ transient arrays threaded by the solvers.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -183,9 +184,10 @@ def gauss_seidel_rb(p: PoissonLevel, x: jax.Array, r: jax.Array, it: int = 4,
     return increment(p, x, r, eps, omega, perdir, ctx)
 
 
-_DENSE_COARSE_MAX = 1024     # interior-cell cap for the dense coarse solve
-                             # (the min_cells=64 floor bounds a floored
-                             # coarsest at 2^D·64 ≤ 512 cells)
+# interior-cell cap for the dense coarse solve (the min_cells=64 floor
+# bounds a floored coarsest at 2^D·64 ≤ 512 cells); raise it together with
+# WLTPU_MIN_COARSE_CELLS to solve exactly at a larger level
+_DENSE_COARSE_MAX = int(os.environ.get("WLTPU_DENSE_COARSE_MAX", "1024"))
 
 
 def dense_pinv(p: PoissonLevel, perdir: tuple[int, ...] = ()) -> PoissonLevel:

@@ -167,7 +167,8 @@ class DistSimulation:
                 raise ValueError(
                     f"dim {d}: interior {n} not evenly divisible over {k} shards")
         shapes, masks, n_dist = mg.dist_n_levels(
-            cfg.shape, self.sizes, min_cells=mg._MIN_COARSE_CELLS)
+            cfg.shape, self.sizes,
+            min_cells=getattr(sim, "_min_coarse", mg._MIN_COARSE_CELLS))
         if n_dist < 1:
             raise ValueError("grid too small to distribute over this mesh")
         self.masks, self.n_dist = tuple(masks), n_dist

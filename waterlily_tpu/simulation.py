@@ -193,6 +193,7 @@ class Simulation:
                  fine_smooth_it: Optional[int] = None,
                  fused_resid: Optional[bool] = None,
                  mp_smooth: Optional[bool] = None,
+                 min_coarse_cells: Optional[int] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
         if U is None:
@@ -227,13 +228,18 @@ class Simulation:
                        and ff.flat_supported(cfg, g) and _on_tpu()))
         if flat_on and (psolver != "mg" or not ff.flat_supported(cfg, g)):
             raise ValueError("flat engine needs psolver='mg' and D=3")
+        # MG coarse-level floor (see `mg.level_shapes`): flow solves are
+        # warm-started with a dual-norm stop, so levels below the floor are
+        # replaced by the dense exact coarse solve.  `min_coarse_cells`
+        # overrides per-sim (perf tuning); DistSimulation inherits it so the
+        # decomposed stack stays identical to the single-device one.
+        self._min_coarse = (mg._MIN_COARSE_CELLS if min_coarse_cells is None
+                            else min_coarse_cells)
         if psolver == "mg":
             # the whole device-side build (measure + MG stack + flat layout +
-            # band bounds) runs as ONE program — see `_build_jit`.
-            # Flow solves are warm-started with a dual-norm stop, so the
-            # TPU coarse-level floor applies (see `mg.level_shapes`)
+            # band bounds) runs as ONE program — see `_build_jit`
             self.masks = tuple(mg.level_shapes(
-                cfg.shape, min_cells=mg._MIN_COARSE_CELLS)[1])
+                cfg.shape, min_cells=self._min_coarse)[1])
             self.solve_fn = None
             state, self.levels, band, fstate, fmg = _build_jit(
                 self.body if has_body else None, self.flow.state,
