@@ -259,3 +259,22 @@ def test_scan_cache_udf_identity_not_recycled_id():
     stale = run(0.0, 0.0)
     assert not np.allclose(changed, stale, atol=1e-12), \
         "second udf's forcing was ignored (stale scan cache)"
+
+
+def test_scan_cache_keys_on_coarse_floor():
+    """Two sims differing only in `min_coarse_cells` must not share a compiled
+    scan — the MG mask stack is not part of FlowCfg, so the cache key carries
+    `self.masks` explicitly (advisor round-3 finding: the floored sim's
+    2-mask closure applied to the deep stack raised IndexError, and in the
+    reverse order the floor was silently ignored)."""
+    F64 = jnp.float64
+    mk = lambda floor: Simulation((32, 32), (1.0, 0.0), 16, U=1.0, nu=0.01,
+                                  dtype=F64, min_coarse_cells=floor)
+    a = mk(64)
+    b = mk(0)
+    assert len(a.masks) != len(b.masks), "floor did not change the stack depth"
+    a.sim_step_n(1)
+    b.sim_step_n(1)            # raised IndexError before the key fix
+    ref = mk(0)
+    ref.sim_step(remeasure=False)
+    assert np.allclose(np.array(ref.flow.u), np.array(b.flow.u), atol=1e-13)

@@ -43,7 +43,8 @@ try:  # jax >= 0.5 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_mesh", "to_blocked", "from_blocked", "DistSimulation"]
+__all__ = ["make_mesh", "to_blocked", "from_blocked", "DistSimulation",
+           "clear_fn_cache"]
 
 
 def make_mesh(shape: Optional[tuple[int, ...]] = None, devices=None) -> Mesh:
@@ -121,16 +122,28 @@ def _dist_on_tpu() -> bool:
 # dominant pattern in tests (reference vs distributed pairs) and in
 # checkpoint-restart — reuse one compilation instead of re-tracing per
 # instance.  Values hold strong references to any udf so object identity in
-# the key can never alias a recycled id.
-_FN_CACHE: dict = {}
+# the key can never alias a recycled id.  LRU-bounded: a long-running driver
+# sweeping many distinct configs (cfg is in the key — e.g. moving band_x
+# variants) would otherwise accumulate compiled executables for the process
+# lifetime; evicting an entry only drops OUR strong reference — a jitted fn
+# still held by a live Simulation keeps working.
+_FN_CACHE_MAX = 256
+_FN_CACHE: "dict" = {}
 
 
 def _cached_fn(key, builder):
-    ent = _FN_CACHE.get(key)
+    ent = _FN_CACHE.pop(key, None)
     if ent is None:
         ent = builder()
-        _FN_CACHE[key] = ent
+        if len(_FN_CACHE) >= _FN_CACHE_MAX:
+            _FN_CACHE.pop(next(iter(_FN_CACHE)))   # evict least-recent
+    _FN_CACHE[key] = ent                           # (re)insert most-recent
     return ent
+
+
+def clear_fn_cache() -> None:
+    """Drop every cached compiled closure (explicit hook for config sweeps)."""
+    _FN_CACHE.clear()
 
 
 class DistSimulation:
@@ -235,9 +248,11 @@ class DistSimulation:
 
     def _fn_key(self, *extra):
         """Cache key capturing everything the jitted closures close over:
-        static config, decomposition, and the mesh CONTENT (two Mesh objects
-        over the same devices compile identically)."""
-        return (self.cfg, self.sizes, self.axes,
+        static config, decomposition, the MG stack depth (`masks`/`n_dist`
+        depend on `min_coarse_cells`, which is not part of FlowCfg), and the
+        mesh CONTENT (two Mesh objects over the same devices compile
+        identically)."""
+        return (self.cfg, self.sizes, self.axes, self.masks, self.n_dist,
                 tuple(self.mesh.devices.flatten().tolist()),
                 tuple(self.mesh.axis_names)) + extra
 
@@ -434,6 +449,29 @@ class DistSimulation:
     @property
     def pois_n(self):
         return self.sim.flow.pois_n
+
+    # drop-in accessors so shared helpers (viz / metrics / io) treat a
+    # DistSimulation exactly like a Simulation
+    @property
+    def U(self):
+        return self.sim.U
+
+    @property
+    def L(self):
+        return self.sim.L
+
+    @property
+    def eps(self):
+        return self.sim.eps
+
+    @property
+    def body(self):
+        return self.sim.body
+
+    def sdf_field(self, t: Optional[float] = None):
+        """Dense-layout signed distance of the body (delegates to the wrapped
+        sim — geometry is replicated, no gather needed)."""
+        return self.sim.sdf_field(t if t is not None else self.time)
 
     @property
     def state(self) -> fl.FlowState:

@@ -419,10 +419,13 @@ class Simulation:
         # cached across Simulation INSTANCES (reference/test pairs of the
         # same config share one compile).  cfg is part of the key:
         # `measure()` may widen cfg.band_x for a moving body, and a cached
-        # closure would silently keep the old one.  The entry holds strong
+        # closure would silently keep the old one.  `self.masks` is in the
+        # key too: the MG level stack depends on `min_coarse_cells`, which
+        # is NOT part of FlowCfg — two sims differing only in the coarse
+        # floor must not share a compiled scan.  The entry holds strong
         # references to udf/solve_fn, so an `id()` in the key can never
         # alias a GC'd callable's recycled id to a stale compiled scan.
-        key = ("sim_scan", n, self._flat is not None, cfg,
+        key = ("sim_scan", n, self._flat is not None, cfg, self.masks,
                id(udf), id(self.solve_fn))
 
         def mk():
