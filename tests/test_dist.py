@@ -228,3 +228,35 @@ def test_dist_total_force_matches_single_device():
                            atol=1e-10), engine
         assert np.allclose(np.array(d.total_moment((16.0, 8.0, 8.0))), m_ref,
                            atol=1e-10), engine
+
+
+def test_dist_shared_helpers_see_stepped_state():
+    """`metrics.total_force/total_moment` and the default `viz` field closure
+    must read the LIVE sharded state of a DistSimulation — round-3 verdict:
+    they read `sim.flow.state` directly, which on a dist sim is the
+    pre-stepping copy, so `viz(dsim)` silently rendered the initial
+    condition."""
+    from waterlily_tpu.utils.metrics import total_force, total_moment
+    from waterlily_tpu.utils.viz import default_field
+
+    ctr = jnp.asarray([12.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0)
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64)
+    d = DistSimulation(mk(), make_mesh((4,)))
+    stale_field = default_field(d)
+    for _ in range(2):
+        d.step_once(remeasure=False)
+    ref = mk()
+    for _ in range(2):
+        ref.sim_step(remeasure=False)
+    # the shared helpers route through the dist-aware paths
+    assert np.allclose(np.array(total_force(d)), np.array(total_force(ref)),
+                       atol=1e-10)
+    x0 = (16.0, 8.0, 8.0)
+    assert np.allclose(np.array(total_moment(x0, d)),
+                       np.array(total_moment(x0, ref)), atol=1e-10)
+    live = default_field(d)
+    assert not np.allclose(live, stale_field, atol=1e-12), \
+        "default viz field still shows the initial condition"
+    assert np.allclose(live, default_field(ref), atol=1e-9)

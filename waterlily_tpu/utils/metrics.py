@@ -216,7 +216,14 @@ def viscous_force(u: jax.Array, nu, body: Body, t=0.0, offset=None,
 
 
 def total_force(sim) -> jax.Array:
-    """`total_force`, `Metrics.jl:160`."""
+    """`total_force`, `Metrics.jl:160`.  A `DistSimulation` routes to its
+    per-shard psum-reduced integral (its `sim.flow.state` is the stale
+    pre-stepping copy — reading it here would silently integrate the initial
+    condition)."""
+    from .io import _is_dist
+
+    if _is_dist(sim):
+        return sim.total_force()
     return (pressure_force(sim.flow.state.p, sim.body, sim.time)
             + viscous_force(sim.flow.state.u, sim.flow.state.nu, sim.body, sim.time))
 
@@ -261,7 +268,11 @@ def viscous_moment(x0, u: jax.Array, nu, body: Body, t=0.0, offset=None,
 
 def total_moment(x0, sim) -> jax.Array:
     """Pressure + viscous moment about ``x0`` (`total_moment`,
-    `Metrics.jl:195-197`)."""
+    `Metrics.jl:195-197`); dist sims route like `total_force`."""
+    from .io import _is_dist
+
+    if _is_dist(sim):
+        return sim.total_moment(x0)
     return (pressure_moment(x0, sim.flow.state.p, sim.body, sim.time)
             + viscous_moment(x0, sim.flow.state.u, sim.flow.state.nu, sim.body,
                              sim.time))

@@ -22,7 +22,7 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 __all__ = ["flood", "addbody", "body_plot", "sim_gif", "plot_logger", "viz",
-           "get_body"]
+           "get_body", "default_field"]
 
 
 def _plt():
@@ -90,11 +90,19 @@ def body_plot(sim, *, levels=(0.0,), lines=True, c: str = "black", ax=None):
     return ax
 
 
-def _default_plot_body(sim, t, ax, plotbody, kv):
+def default_field(sim):
+    """Vorticity normalized by U/L from the LIVE velocity — the default frame
+    field of `viz`/`sim_gif`.  Routed through `io._dense_u` so a
+    `DistSimulation`'s stepped sharded state (not the stale pre-stepping
+    `sim.flow.state` copy) is what gets plotted."""
+    from .io import _dense_u
     from .metrics import vorticity
 
-    u = sim.flow.state.u
-    om = np.asarray(vorticity(u)) * sim.L / sim.U
+    return np.asarray(vorticity(_dense_u(sim))) * sim.L / sim.U
+
+
+def _default_plot_body(sim, t, ax, plotbody, kv):
+    om = default_field(sim)
     if om.ndim == 3:
         om = om[:, :, om.shape[2] // 2]
     ax.clear()
@@ -200,10 +208,7 @@ def viz(sim, d: Optional[Callable] = None, *, t_end: Optional[float] = None,
     plt = _plt()
 
     if d is None:
-        from .metrics import vorticity
-
-        def d(sim):
-            return np.asarray(vorticity(sim.flow.state.u)) * sim.L / sim.U
+        d = default_field
 
     if t_end is None:
         fig, ax = plt.subplots(figsize=(6, 4), dpi=100)
