@@ -237,3 +237,46 @@ def test_scheme_selection_diverges():
     uq = np.array(run(fl.quick).u)
     uc = np.array(run(fl.cds).u)
     assert np.abs(uq - uc).max() > 1e-6
+
+
+# ------------------------------------------------------- 3D TGV (BASELINE 3)
+@pytest.mark.parametrize("engine", ["3d", "flat"])
+def test_tgv3d_decay(engine):
+    """3D periodic Taylor-Green gate (BASELINE config 3): the z-invariant
+    two-component TGV is an exact Navier-Stokes solution in 3D too, so the
+    64-cell-per-side 2D gate (`/root/reference/test/test_flow.jl:100-108`)
+    extends to an asserted 3D energy-decay check on BOTH engines — guarding
+    the periodic+flat+Pallas path against slow physics regressions.  Asserts:
+    KE decay within 1% of the exact viscous rate exp(-4κ²νt), x/y error
+    symmetry, and a w-component that stays at roundoff."""
+    F64 = jnp.float64
+    from waterlily_tpu import Simulation
+
+    L, Re, steps = 16, 10, 5
+    kappa = 2 * np.pi / L
+    nu = 1 / (kappa * Re)
+
+    def tgv(i, xyz):
+        x, y = xyz[0] * kappa, xyz[1] * kappa
+        return jnp.where(i == 0, -jnp.sin(x) * jnp.cos(y),
+                         jnp.where(i == 1, jnp.cos(x) * jnp.sin(y), 0.0))
+
+    sim = Simulation((L, L, L), (0.0, 0.0, 0.0), L, U=1.0, nu=nu,
+                     perdir=(0, 1, 2), u0=tgv, dtype=F64, engine=engine)
+    ke0 = float(jnp.sum(interior(sim.flow.u, 3) ** 2))
+    sim.sim_step_n(steps)
+    t = sim.time
+    u = np.asarray(sim.flow.u)
+    ke = float(np.sum(u[:, 1:-1, 1:-1, 1:-1] ** 2))
+    exact_ratio = math.exp(-4 * kappa**2 * nu * t)
+    assert abs(ke / ke0 / exact_ratio - 1) < 0.01, \
+        f"KE decay {ke / ke0:.5f} vs viscous rate {exact_ratio:.5f}"
+    decay = math.exp(-2 * kappa**2 * nu * t)
+    ue = np.asarray(apply_vector(lambda i, x: decay * tgv(i, x), 3,
+                                 sim.flow.cfg.shape, F64))
+    errs = [float(np.sum((u[i] - ue[i])[1:-1, 1:-1, 1:-1] ** 2))
+            for i in range(3)]
+    # measured 0.01694/0.01694/4.4e-6 on both engines (f64, 2026-08-20)
+    assert errs[0] < 0.03 and errs[1] < 0.03, errs
+    assert errs[0] == pytest.approx(errs[1], rel=1e-9), "x/y symmetry broken"
+    assert errs[2] < 1e-4, "w-component left the 2-component manifold"
