@@ -43,7 +43,8 @@ _LOCK = threading.Lock()
 _DONE = threading.Event()
 
 
-def _result(N, rate, steps):
+def _result(N, meas, steps):
+    rate = meas["rate"]
     res = {
         "metric": f"3D sphere {N}^3 cell-updates/s/chip",
         "value": rate,
@@ -52,6 +53,8 @@ def _result(N, rate, steps):
         "ms_per_step": N ** 3 / rate * 1e3,
         "ns_per_dof": 1e9 / rate,      # reference anchor: 1.44 (README:109)
         "steps_timed": steps,
+        "reps": meas["reps"],          # median of `reps` timed scans
+        "spread": meas["spread"],      # (max-min)/median across the reps
     }
     if N != _TARGET_N:
         res["baseline_note"] = (f"target is defined at {_TARGET_N}^3; this "
@@ -94,21 +97,20 @@ def _measure(N: int, steps: int, engine: str):
     radius = N // 8
     ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
     body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius)
-    # smooth_it=2 + mp_smooth: the measured perf config (library defaults
-    # stay reference-strength f32/4-sweep for the iteration-cap parity
-    # gates; the dual-norm stop keeps the solve tolerance identical).
-    # With the dense exact coarse solve backing the V-cycle, 256^3 settles
-    # at the same [1,1] iterations and dt=0.477 across smooth_it∈{2,3} and
-    # mp∈{on,off}: 38.3 / 44.3 / 48.2 ms per step (smooth2+mp / smooth3+mp /
-    # smooth3).  Raising the coarse floor to 512 cells was a measured loss
-    # (41.5 ms) — WLTPU_BENCH_MIN_COARSE stays at the library default 64.
+    # NO tuning kwargs: `Simulation` auto-selects the benched TPU perf
+    # config (smooth_it=2 + mp_smooth + dense coarse solve) when none are
+    # given — what the bench measures is now exactly what a default TPU
+    # user gets.  WLTPU_BENCH_* env overrides remain for experiments.
+    tune = {}
+    if "WLTPU_BENCH_SMOOTH_IT" in os.environ:
+        tune["smooth_it"] = int(os.environ["WLTPU_BENCH_SMOOTH_IT"])
+    if "WLTPU_BENCH_MP" in os.environ:
+        tune["mp_smooth"] = os.environ["WLTPU_BENCH_MP"] == "1"
+    if "WLTPU_BENCH_MIN_COARSE" in os.environ:
+        tune["min_coarse_cells"] = int(os.environ["WLTPU_BENCH_MIN_COARSE"])
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
                      body=body, dtype=jnp.float32,
-                     smooth_it=int(os.environ.get("WLTPU_BENCH_SMOOTH_IT", "2")),
-                     mp_smooth=os.environ.get("WLTPU_BENCH_MP", "1") == "1",
-                     min_coarse_cells=int(os.environ.get(
-                         "WLTPU_BENCH_MIN_COARSE", "64")),
-                     engine="auto" if engine == "flat" else "3d")
+                     engine="auto" if engine == "flat" else "3d", **tune)
     cfg = sim.flow.cfg
 
     # NOTE: on the tunneled backend `block_until_ready` does not actually
@@ -169,16 +171,28 @@ def _measure(N: int, steps: int, engine: str):
         float(probe(state))
         t_base = time.perf_counter() - t_base
 
-        t_start = time.perf_counter()
-        (state, dt, t0), (dts, iters) = run(state, solver, dt, t0)
-        pend = float(probe(state))
-        elapsed = max(1e-9, time.perf_counter() - t_start - t_base)
-        if not math.isfinite(pend) or not math.isfinite(float(dt)):
-            raise RuntimeError(f"{N}^3 simulation diverged during measurement")
+        # median-of-3: the tunneled backend shows ~±10% run-to-run variance
+        # on a single scan; three timed scans (<2 s overhead at 256^3) make
+        # round-over-round deltas attributable (round-3 verdict item 7)
+        reps = int(os.environ.get("WLTPU_BENCH_REPS", "3"))
+        rates = []
+        for _ in range(reps):
+            t_start = time.perf_counter()
+            (state, dt, t0), (dts, iters) = run(state, solver, dt, t0)
+            pend = float(probe(state))
+            elapsed = max(1e-9, time.perf_counter() - t_start - t_base)
+            if not math.isfinite(pend) or not math.isfinite(float(dt)):
+                raise RuntimeError(f"{N}^3 simulation diverged during "
+                                   "measurement")
+            rates.append(N ** 3 * steps / elapsed)
         it = [int(v) for v in iters[-1]]
-        print(f"# {N}^3 final dt={float(dt):.3f} pois_iters={it} (scan mode)",
+        rates.sort()
+        med = rates[len(rates) // 2]
+        spread = (rates[-1] - rates[0]) / med if med else 0.0
+        print(f"# {N}^3 final dt={float(dt):.3f} pois_iters={it} (scan mode, "
+              f"{reps} reps, spread {100 * spread:.1f}%)",
               file=sys.stderr, flush=True)
-        return N ** 3 * steps / elapsed
+        return {"rate": med, "spread": spread, "reps": reps}
 
     return _measure_dispatch(N, steps, step, state, solver, dt, t0, probe)
 
@@ -220,6 +234,58 @@ def _measure_dispatch(N, steps, step, state, solver, dt, t0, probe):
     it = [int(v) for v in iters] if iters is not None else []
     print(f"# {N}^3 final dt={float(dt):.3f} pois_iters={it}",
           file=sys.stderr, flush=True)
+    return {"rate": N ** 3 * steps / elapsed, "spread": None, "reps": 1}
+
+
+def _measure_moving(N: int, steps: int):
+    """Moving-body rate (BASELINE config 2 family, flapping-foil analog): an
+    oscillating sphere at N^3 with per-step re-measure riding the scan
+    (`Simulation.sim_step_n(remeasure=True)` — banded measure + MG
+    re-restriction + momentum step fused per iteration).  Oscillation keeps
+    the band envelope stable, so after two settling calls the timed call
+    re-traces nothing.  Returns cell-updates/s including the re-measure."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from waterlily_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
+    from waterlily_tpu import AutoBody, Simulation
+
+    radius = N // 8
+    ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
+    amp, om = radius / 2.0, 1.0 / radius
+
+    def sdf(x, t):
+        return jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius
+
+    def map_fn(x, t):
+        return x - jnp.stack([amp * jnp.sin(om * t), 0 * t, 0 * t])
+
+    sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
+                     body=AutoBody(sdf, map_fn), dtype=jnp.float32)
+    probe = jax.jit(lambda st: st.u.reshape(-1)[0])
+    for _ in range(2):     # compile + band-envelope settling
+        sim.sim_step_n(steps, remeasure=True)
+    st = sim._flat["state"] if sim._flat is not None else sim.flow.state
+    if not math.isfinite(float(probe(st))) or not math.isfinite(sim.flow.dt[-1]):
+        raise RuntimeError(f"moving {N}^3 diverged during settling")
+    band0 = sim.flow.cfg.band_x
+    t_start = time.perf_counter()
+    sim.sim_step_n(steps, remeasure=True)
+    st = sim._flat["state"] if sim._flat is not None else sim.flow.state
+    float(probe(st))
+    elapsed = max(1e-9, time.perf_counter() - t_start)
+    if not math.isfinite(float(probe(st))):
+        raise RuntimeError(f"moving {N}^3 diverged during measurement")
+    if sim.flow.cfg.band_x != band0:
+        print(f"# moving {N}^3: band re-traced inside the timed call "
+              f"({band0} -> {sim.flow.cfg.band_x}); rate includes a compile",
+              file=sys.stderr, flush=True)
+    print(f"# moving {N}^3 final dt={sim.flow.dt[-1]:.3f} band="
+          f"{sim.flow.cfg.band_x}", file=sys.stderr, flush=True)
     return N ** 3 * steps / elapsed
 
 
@@ -258,12 +324,24 @@ def main():
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
 
     global _BEST
+    if "WLTPU_BENCH_MOVING_N" in os.environ:
+        # moving-rung subprocess entry: oscillating body, remeasure-in-scan
+        N = int(os.environ["WLTPU_BENCH_MOVING_N"])
+        rate = _measure_moving(N, steps)
+        with _LOCK:
+            _BEST = {"metric": f"3D moving sphere {N}^3 (remeasure/step) "
+                               "cell-updates/s/chip",
+                     "value": rate, "unit": "cell-updates/s",
+                     "ms_per_step": N ** 3 / rate * 1e3,
+                     "steps_timed": steps}
+        _DONE.set()
+        _emit_and_exit(0)
     if "WLTPU_BENCH_N" in os.environ:
         # single-rung mode (also the subprocess entry): measure in-process
         N = int(os.environ["WLTPU_BENCH_N"])
-        rate = _measure(N, steps, engine)
+        meas = _measure(N, steps, engine)
         with _LOCK:
-            _BEST = _result(N, rate, steps)
+            _BEST = _result(N, meas, steps)
         _DONE.set()
         _emit_and_exit(0)
 
@@ -292,6 +370,29 @@ def main():
                   f"({res['ms_per_step']:.2f} ms/step)", file=sys.stderr,
                   flush=True)
             break   # rungs are ordered target-first: first success wins
+    # moving-body rung (VERDICT-r3 item 3): only once a static number is
+    # banked and enough budget remains — its result rides as a sub-record,
+    # never replacing the headline metric
+    left = budget - (time.perf_counter() - t0)
+    mn = int(os.environ.get("WLTPU_BENCH_MOVING", "192"))
+    if _BEST is not None and left > 150 and mn > 0:
+        env = dict(os.environ, WLTPU_BENCH_MOVING_N=str(mn))
+        env.pop("WLTPU_BENCH_N", None)
+        try:
+            cp = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                capture_output=True, text=True, env=env,
+                                timeout=left - 40)
+            sys.stderr.write(cp.stderr)
+            for line in reversed(cp.stdout.splitlines()):
+                if line.strip().startswith("{"):
+                    mv = json.loads(line)
+                    if mv.get("value", 0.0) > 0.0:
+                        with _LOCK:
+                            _BEST["moving"] = mv
+                    break
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
+            print(f"# moving rung skipped: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
     _DONE.set()
     _emit_and_exit(0)
 

@@ -33,6 +33,20 @@ def main():
               flush=True)
         if cp.returncode != 0:
             sys.stderr.write(cp.stderr[-2000:])
+    # moving-body rung (bench.py runs it after the static ladder)
+    mn = os.environ.get("WLTPU_BENCH_MOVING", "192")
+    if mn != "0":
+        env = dict(os.environ, WLTPU_BENCH_MOVING_N=mn,
+                   WLTPU_BENCH_BUDGET_S="3600")
+        env.pop("WLTPU_BENCH_N", None)
+        t0 = time.time()
+        cp = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                            env=env, capture_output=True, text=True)
+        tail = (cp.stdout.strip().splitlines() or [""])[-1]
+        print(f"moving {mn}^3: rc={cp.returncode} {time.time() - t0:.0f}s "
+              f"{tail}", flush=True)
+        if cp.returncode != 0:
+            sys.stderr.write(cp.stderr[-2000:])
 
 
 if __name__ == "__main__":

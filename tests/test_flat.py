@@ -300,3 +300,45 @@ def test_band_bdim_parity_interpret():
     u_full, p_full = run(band_off=True)
     assert np.allclose(u_band, u_full, atol=1e-5)
     assert np.allclose(p_band, p_full, atol=1e-4)
+
+
+def test_banded_measure_matches_dense():
+    """`measure_fill(band_x=...)` — the x-slab narrow-band measure — must be
+    BITWISE equal to the dense sweep when the band covers every deviating
+    row, across a moving-body trajectory including the host escape-widen
+    loop (fast body crossing the band pad per step)."""
+    ctr = jnp.asarray([10.0, 8.0, 8.0], F64)
+    for speed in (1.5, 4.0):
+        body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0,
+                        lambda x, t, s=speed: x - jnp.stack([s * t, 0 * t,
+                                                             0 * t]))
+        mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                                body=body, dtype=F64, engine="flat")
+        a, b = mk(), mk()
+        a._band_measure = False     # dense reference
+        for _ in range(3):
+            a.sim_step(remeasure=True)
+            b.sim_step(remeasure=True)
+        assert np.array_equal(np.asarray(a.flow.u), np.asarray(b.flow.u)), speed
+        assert np.array_equal(np.asarray(a.flow.state.mu0),
+                              np.asarray(b.flow.state.mu0)), speed
+        assert np.array_equal(np.asarray(a.flow.state.mu1),
+                              np.asarray(b.flow.state.mu1)), speed
+        assert a.flow.dt == b.flow.dt
+
+
+def test_sim_step_n_remeasure_flat_banded():
+    """Moving-body scan driver on the FLAT engine with the banded in-scan
+    measure + escape-redo: equality with the host loop (f64)."""
+    ctr = jnp.asarray([10.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0,
+                    lambda x, t: x - jnp.stack([4.0 * t, 0 * t, 0 * t]))
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64, engine="flat")
+    a, b = mk(), mk()
+    for _ in range(4):
+        a.sim_step(remeasure=True)
+    b.sim_step_n(4, remeasure=True)
+    assert np.allclose(np.asarray(a.flow.u), np.asarray(b.flow.u), atol=1e-13)
+    assert np.allclose(a.flow.dt, b.flow.dt, atol=1e-13)
+    assert a.pois_n == b.pois_n

@@ -278,3 +278,26 @@ def test_scan_cache_keys_on_coarse_floor():
     ref = mk(0)
     ref.sim_step(remeasure=False)
     assert np.allclose(np.array(ref.flow.u), np.array(b.flow.u), atol=1e-13)
+
+
+def test_sim_step_n_remeasure_matches_host_loop():
+    """Scan-fused moving-body driver (`sim_step_n(remeasure=True)`): per
+    iteration measure + update_mg + mom_step in one lax.scan — must equal
+    the measure-then-step host loop exactly (f64), including the Δt history
+    and the final BDIM moments (VERDICT-r3 item 4)."""
+    F64 = jnp.float64
+    ctr = jnp.asarray([10.0, 8.0, 8.0], F64)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0,
+                    lambda x, t: x - jnp.stack([1.5 * t, 0 * t, 0 * t]))
+    mk = lambda: Simulation((32, 16, 16), (1.0, 0.0, 0.0), 4.0, nu=0.02,
+                            body=body, dtype=F64)
+    a, b = mk(), mk()
+    for _ in range(4):
+        a.sim_step(remeasure=True)
+    b.sim_step_n(4, remeasure=True)
+    assert np.allclose(np.array(a.flow.u), np.array(b.flow.u), atol=1e-13)
+    assert np.allclose(np.array(a.flow.p), np.array(b.flow.p), atol=1e-12)
+    assert np.allclose(np.array(a.flow.state.mu0),
+                       np.array(b.flow.state.mu0), atol=1e-13)
+    assert np.allclose(a.flow.dt, b.flow.dt, atol=1e-13)
+    assert a.pois_n == b.pois_n

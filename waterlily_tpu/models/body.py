@@ -167,7 +167,7 @@ def measure_sdf(body: Body, shape: tuple[int, ...], t=0.0,
 
 def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
                  dtype=jnp.float32, perdir: tuple[int, ...] = (),
-                 exit_bc: bool = False, ctx=None):
+                 exit_bc: bool = False, ctx=None, band_x=None):
     """Fill the BDIM arrays ``(V, mu0, mu1, sdf)`` from the body geometry
     (`measure!`, `Body.jl:28-51`).
 
@@ -177,6 +177,17 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     narrow band ``sdf² < (2+eps)²`` (mu0 = 0 deep inside the body, 1 in the
     fluid).  Returns full padded arrays with the reference's ghost treatment:
     zero-velocity vector BC on mu0 and V.
+
+    ``band_x = (lo, hi)`` (static padded x rows, single-device only) is the
+    TPU analog of the reference's narrow-band `fastd²` early-out
+    (`Body.jl:41` via `AutoBody.jl:31`): the sdf/map/AD sweep — the dominant
+    per-step cost of a moving-body remeasure — runs ONLY on interior rows
+    [lo, hi); everywhere else the moments take their analytic far-field
+    values (μ0 ≡ 1, μ1 ≡ 0, V ≡ 0, before the boundary fill), which is
+    EXACT when the band covers every deviating row (`Simulation.measure`
+    re-measures with a widened band when deviations reach the band edge).
+    Under `vmap` a per-point `fastd²` skip gates only the select, not the
+    compute — row-banding is what actually removes AD work on TPU.
     """
     from ..ops.dist import offsets as dist_offsets
 
@@ -185,28 +196,44 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     band2 = float((2.0 + eps_k) ** 2)
     t = jnp.asarray(t, dtype)
     off = dist_offsets(ctx, shape) if ctx is not None else None
+    banded = band_x is not None and ctx is None
+    if banded:
+        a = max(1, int(band_x[0]))
+        b = min(shape[0] - 1, int(band_x[1]))
+        banded = b - a < inner[0]
+    if not banded:
+        a, b = 1, shape[0] - 1
+    xsl = (slice(a, b),) + (slice(1, -1),) * (D - 1)
+    paste = (slice(a - 1, b - 1),)          # interior-index space
+    inner_b = (b - a,) + inner[1:]
 
-    sigma = measure_sdf(body, shape, t, dtype, fastd2=band2, offset=off)
-    sig_in = sigma[(slice(1, -1),) * D]
-    in_band = sig_in**2 < band2
+    coords_c = loc_grid(None, shape, dtype, off)[(slice(None),) + xsl]
+    sig = jax.vmap(lambda x: body.measure_at(x, t, band2)[0])(
+        coords_c.reshape(D, -1).T).reshape(inner_b).astype(dtype)
+    in_band = sig**2 < band2
 
     mu0_c, mu1_c, V_c = [], [], []
     for i in range(D):
-        coords = loc_grid(i, shape, dtype, off)[(slice(None),) + (slice(1, -1),) * D]
+        coords = loc_grid(i, shape, dtype, off)[(slice(None),) + xsl]
         flat = coords.reshape(D, -1).T
         d, n, v = jax.vmap(lambda x: body.measure_at(x, t, band2))(flat)
-        d = d.reshape(inner)
-        n = n.T.reshape((D,) + inner)
-        v = v.T.reshape((D,) + inner)
+        d = d.reshape(inner_b)
+        n = n.T.reshape((D,) + inner_b)
+        v = v.T.reshape((D,) + inner_b)
         # sign consistency with the cell-center sdf (`Body.jl:37`)
-        d = jnp.where(jnp.abs(d) <= 0.5, d, jnp.copysign(d, sig_in))
+        d = jnp.where(jnp.abs(d) <= 0.5, d, jnp.copysign(d, sig))
         m0 = jnp.where(in_band, mu0_kernel(d, eps_k),
-                       jnp.where(sig_in < 0, 0.0, 1.0))
+                       jnp.where(sig < 0, 0.0, 1.0))
         m1 = jnp.where(in_band, mu1_kernel(d, eps_k) * n, 0.0)
-        vv = jnp.where(in_band, v, 0.0)
+        vv = jnp.where(in_band, v[i], 0.0)
+        if banded:  # paste the measured slab into the exact far field
+            m0 = jnp.ones(inner, m0.dtype).at[paste].set(m0)
+            m1 = jnp.zeros((D,) + inner, m1.dtype) \
+                .at[(slice(None),) + paste].set(m1)
+            vv = jnp.zeros(inner, vv.dtype).at[paste].set(vv)
         mu0_c.append(grow(m0, fill=1.0))
         mu1_c.append(jnp.stack([grow(m1[j]) for j in range(D)]))
-        V_c.append(grow(vv[i]))  # V[I,i] = V_i at face i (`Body.jl:39`)
+        V_c.append(grow(vv))  # V[I,i] = V_i at face i (`Body.jl:39`)
 
     mu0 = jnp.stack(mu0_c).astype(dtype)
     mu1 = jnp.stack(mu1_c).astype(dtype)
@@ -216,4 +243,8 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     V = bc_vector(V, zeros, save_exit=exit_bc, perdir=perdir, ctx=ctx)
     # (mu1 needs no halo sync: the BDIM gradient reads mu1 at interior cells
     # only, `Flow.jl:179`)
+    if banded:  # far field: positive out-of-band distance (fluid)
+        far = jnp.asarray(band2**0.5 + 1.0, dtype)
+        sig = jnp.full(inner, far, dtype).at[paste].set(sig)
+    sigma = grow(sig)
     return V, mu0, mu1, sigma

@@ -65,17 +65,23 @@ def _build_jit(body, state, t, cfg, eps_k, masks, flat, has_body):
     return state, levels, band, None, None
 
 
-@partial(jax.jit, static_argnames=("cfg", "eps_k", "masks", "flat"))
-def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat):
+@partial(jax.jit, static_argnames=("cfg", "eps_k", "masks", "flat",
+                                   "use_band"))
+def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat, use_band=False):
     """Fused moving-body re-measure (`measure!(sim)`, `WaterLily.jl:146-149`):
     measure + MG re-restriction + flat-field refresh + band bounds in one
     device program.  ``fstate`` is the authoritative flat state whose u/p are
-    left untouched (only V/μ0/μ1 refresh)."""
+    left untouched (only V/μ0/μ1 refresh).  ``use_band`` restricts the
+    sdf/AD sweep to the ``cfg.band_x`` x-slab (`measure_fill` banding — the
+    TPU analog of the reference's narrow-band `fastd²` early-out,
+    `Body.jl:28-51`); the caller re-measures wider when the returned band
+    bounds touch the measured edge."""
     from .ops import mgflat
     from .ops.flat import geom_of, to_flat
 
     V, mu0, mu1, _ = measure_fill(body, cfg.shape, t, eps_k, cfg.dtype,
-                                  cfg.perdir, cfg.exit_bc)
+                                  cfg.perdir, cfg.exit_bc,
+                                  band_x=cfg.band_x if use_band else None)
     levels = mg.update_mg(None, masks, mu0, cfg.perdir)
     if flat:
         lo, hi = _band_rows(V, mu0, mu1, cfg.perdir)
@@ -206,6 +212,21 @@ class Simulation:
         check_fn(g, D, dtype, 3, "g")
         check_fn(u0, D, dtype, 2, "u0")
         ctor = flow_ctor or fl.Flow
+        # TPU perf auto-config: when the user gives NO explicit solver tuning
+        # (kwarg or WLTPU_* env), default to the benched fast config —
+        # smooth_it=2 + mixed-precision smoothing (256³ sphere: 48 → 38
+        # ms/step at identical settled iteration counts [1,1] and CFL dt;
+        # `docs/performance.md`).  The dual-norm stop makes cycle strength a
+        # cost knob, never an accuracy one.  CPU/GPU keep the reference-
+        # strength 4-sweep f32 defaults — the iteration-cap parity gates
+        # (≤2/≤3, `/root/reference/test/test_poisson.jl:65-69`) pin those.
+        import os as _os
+
+        if (_on_tpu() and psolver == "mg" and flow_ctor is None
+                and smooth_it is None and "WLTPU_SMOOTH_IT" not in _os.environ):
+            smooth_it = 2
+            if mp_smooth is None and "WLTPU_MP_SMOOTH" not in _os.environ:
+                mp_smooth = True
         tuning = {} if flow_ctor is not None else dict(
             smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc,
             fine_smooth_it=fine_smooth_it, fused_resid=fused_resid,
@@ -235,6 +256,12 @@ class Simulation:
         # decomposed stack stays identical to the single-device one.
         self._min_coarse = (mg._MIN_COARSE_CELLS if min_coarse_cells is None
                             else min_coarse_cells)
+        # banded re-measure (narrow-band measure!, `Body.jl:28-51`):
+        # restrict the per-step sdf/AD sweep to the body's x-slab;
+        # WLTPU_BAND_MEASURE=0 restores the dense full-grid sweep
+        import os as _os2
+
+        self._band_measure = _os2.environ.get("WLTPU_BAND_MEASURE", "1") == "1"
         if psolver == "mg":
             # the whole device-side build (measure + MG stack + flat layout +
             # band bounds) runs as ONE program — see `_build_jit`
@@ -320,12 +347,39 @@ class Simulation:
             t = self.time + self.flow.dt[-1]
         if self.psolver == "mg":
             # fused: measure + MG re-restriction + flat refresh + band bounds
-            # in ONE device program (`_remeasure_jit`)
+            # in ONE device program (`_remeasure_jit`).  With a known band
+            # the sdf/AD sweep is restricted to that x-slab; if the measured
+            # deviations touch the slab edge the body may extend past it, so
+            # the band is widened around the raw bounds and the measure
+            # re-runs (the host-side escape loop that makes banding exact).
             flat_on = self._flat is not None
             fstate = self._flat["state"] if flat_on else None
-            (V, mu0, mu1), self.levels, band, fstate, fmg = _remeasure_jit(
-                self.body, fstate, jnp.asarray(t, cfg.dtype), cfg,
-                float(self.eps), self.masks, flat_on)
+            import numpy as np
+
+            for _ in range(8):
+                use_band = (flat_on and self._band_measure
+                            and cfg.band_x is not None)
+                (V, mu0, mu1), self.levels, band, fstate, fmg = _remeasure_jit(
+                    self.body, fstate, jnp.asarray(t, cfg.dtype), cfg,
+                    float(self.eps), self.masks, flat_on, use_band)
+                if not use_band:
+                    break
+                lo_r, hi_r = (int(v) for v in np.asarray(band))
+                blo, bhi = cfg.band_x
+                if hi_r <= lo_r:
+                    # nothing found in the band: the body left it entirely
+                    # (teleport-scale motion) — relocate with a full measure
+                    self.flow.cfg = cfg = dataclasses.replace(cfg, band_x=None)
+                    continue
+                if (lo_r > blo or blo <= 1) and (hi_r < bhi
+                                                 or bhi >= cfg.shape[0] - 1):
+                    break      # strictly inside (or clamped at the domain)
+                Nx = cfg.shape[0]
+                wide = (max(1, min(lo_r, blo) - 2 * _BAND_PAD),
+                        min(Nx - 1, max(hi_r, bhi) + 2 * _BAND_PAD))
+                if wide == cfg.band_x:
+                    break
+                self.flow.cfg = cfg = dataclasses.replace(cfg, band_x=wide)
             self.flow._state = dataclasses.replace(self.flow._state,
                                                    V=V, mu0=mu0, mu1=mu1)
             if flat_on:
@@ -399,20 +453,28 @@ class Simulation:
             self._flat["state"], u=to_flat(st.u, gm), u0=to_flat(st.u0, gm),
             p=to_flat(st.p, gm))
 
-    def sim_step_n(self, n: int, *, udf=None):
+    def sim_step_n(self, n: int, *, udf=None, remeasure: bool = False):
         """``n`` CFL-limited steps in ONE device program (`lax.scan` over the
-        momentum step) — the TPU-idiomatic driver for static bodies: the
-        whole loop is a single XLA dispatch, so per-step host round trips
-        (which dominate small grids on tunneled backends) vanish and the
-        compiler pipelines across step boundaries.  The CFL dt rides the scan
-        carry on device; the full Δt / solver-iteration history is appended
-        to the host lists afterwards, so `sim_time`, `pois_n` and logging
-        behave exactly as after ``n`` calls of `step_once`.
+        momentum step) — the TPU-idiomatic driver: the whole loop is a single
+        XLA dispatch, so per-step host round trips (which dominate small
+        grids on tunneled backends) vanish and the compiler pipelines across
+        step boundaries.  The CFL dt rides the scan carry on device; the
+        full Δt / solver-iteration history is appended to the host lists
+        afterwards, so `sim_time`, `pois_n` and logging behave exactly as
+        after ``n`` calls of `step_once`.
 
-        Moving bodies need the host re-measure between steps — use
-        `sim_step(..., remeasure=True)` for those.  (The reference has no
-        analog; its host loop at `WaterLily.jl:128-139` dispatches every
-        kernel individually.)"""
+        With ``remeasure=True`` a MOVING body rides the scan too: the body
+        pytree (traced motion parameters, `models.rigidmap`) is a scan-
+        invariant argument and each iteration fuses the banded measure + MG
+        re-restriction + momentum step (`measure!` + `mom_step!`,
+        `WaterLily.jl:146-149` + `128-139`).  The measure uses the static
+        ``cfg.band_x`` slab; every step also emits the deviation bounds, and
+        if they ever touch the measured edge the whole scan re-runs from the
+        saved entry state with a widened band (escape-redo — banding stays
+        exact, `models.body.measure_fill`).  (The reference has no analog;
+        its host loop dispatches every kernel individually.)"""
+        if remeasure and not isinstance(self.body, NoBody):
+            return self._sim_step_n_moving(n, udf)
         from .parallel.dist import _cached_fn
 
         cfg = self.flow.cfg
@@ -474,6 +536,119 @@ class Simulation:
         self.flow.dt.extend(np.asarray(dts).tolist())    # one host transfer
         self.flow.pois_n.extend(np.asarray(iters).reshape(-1).tolist())
         self.solver_stats = stats[-1]
+        return self
+
+    def _sim_step_n_moving(self, n: int, udf=None):
+        """Scan-fused moving-body driver (see `sim_step_n`): per iteration a
+        banded `measure_fill` + `update_mg` + `mom_step` in one traced body,
+        with the body pytree as a scan-invariant traced argument — rigid-
+        motion parameter updates never recompile.  Host-side escape-redo: the
+        scan carries an "escaped" flag; when set, the entry state was saved,
+        the band widens to the union of every observed deviation interval
+        (monotone growth → terminates, at worst at the full-measure domain),
+        and the scan re-runs."""
+        if self.psolver != "mg":
+            raise ValueError("sim_step_n(remeasure=True) needs psolver='mg'")
+        import numpy as np
+
+        from .parallel.dist import _cached_fn
+
+        for _ in range(8):
+            cfg = self.flow.cfg
+            flat_on = self._flat is not None
+            band = cfg.band_x if (flat_on and self._band_measure) else None
+            key = ("sim_scan_meas", n, flat_on, cfg, self.masks, id(udf))
+
+            def mk():
+                masks, eps_k = self.masks, float(self.eps)
+                Nx = cfg.shape[0]
+
+                def esc_check(esc, lo, hi):
+                    if band is None:
+                        return esc
+                    blo, bhi = band
+                    return (esc | ((lo <= blo) & (blo > 1))
+                            | ((hi >= bhi) & (bhi < Nx - 1)) | (hi <= lo))
+
+                if flat_on:
+                    from .models import flowflat as ff
+                    from .ops import mgflat
+                    from .ops.flat import to_flat
+
+                    gm = self._flat["g"]
+
+                    def one(carry, _, body):
+                        fstate, dt, t0, esc = carry
+                        V, mu0, mu1, _ = measure_fill(
+                            body, cfg.shape, t0 + dt, eps_k, cfg.dtype,
+                            cfg.perdir, cfg.exit_bc, band_x=band)
+                        levels = mg.update_mg(None, masks, mu0, cfg.perdir)
+                        fmg = mgflat._flatten_stack(levels, gm, masks)
+                        fstate = dataclasses.replace(
+                            fstate, V=to_flat(V, gm), mu0=to_flat(mu0, gm),
+                            mu1=to_flat(mu1, gm))
+                        lo, hi = _band_rows(V, mu0, mu1, cfg.perdir)
+                        esc = esc_check(esc, lo, hi)
+                        fstate, dt_n, iters, stats = ff.mom_step_flat_impl(
+                            cfg, fstate, fmg, masks, gm, dt, t0, udf)
+                        return ((fstate, dt_n, t0 + dt, esc),
+                                (dt_n, iters, stats, jnp.stack([lo, hi])))
+                else:
+                    def one(carry, _, body):
+                        state, dt, t0, esc = carry
+                        V, mu0, mu1, _ = measure_fill(
+                            body, cfg.shape, t0 + dt, eps_k, cfg.dtype,
+                            cfg.perdir, cfg.exit_bc, band_x=band)
+                        levels = mg.update_mg(None, masks, mu0, cfg.perdir)
+                        state = dataclasses.replace(state, V=V, mu0=mu0,
+                                                    mu1=mu1)
+                        state, dt_n, iters, stats = fl.mom_step_impl(
+                            cfg, state, levels, masks, dt, t0, udf, None)
+                        z = jnp.zeros((), jnp.int32)
+                        return ((state, dt_n, t0 + dt, esc),
+                                (dt_n, iters, stats, jnp.stack([z, z])))
+
+                @jax.jit
+                def run(state, body, dt, t0):
+                    return jax.lax.scan(partial(one, body=body),
+                                        (state, dt, t0, jnp.asarray(False)),
+                                        None, length=n)
+
+                return (udf, run)
+
+            run = _cached_fn(key, mk)[1]
+            st0 = self._flat["state"] if flat_on else self.flow.state
+            dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
+            t0 = jnp.asarray(self.time, cfg.dtype)
+            (st, dt_n, _, esc), (dts, iters, stats, bands) = run(
+                st0, self.body, dt, t0)
+            if band is not None and bool(esc):
+                lo_r = int(np.asarray(bands[:, 0]).min())
+                hi_r = int(np.asarray(bands[:, 1]).max())
+                blo, bhi = band
+                Nx = cfg.shape[0]
+                if hi_r <= lo_r:        # body left the band: full measure
+                    wide = None
+                else:
+                    wide = (max(1, min(lo_r, blo) - 2 * _BAND_PAD),
+                            min(Nx - 1, max(hi_r, bhi) + 2 * _BAND_PAD))
+                if wide != band:
+                    self.flow.cfg = dataclasses.replace(cfg, band_x=wide)
+                    continue            # redo from the saved entry state
+            break
+        if flat_on:
+            self._flat["state"] = st
+            self._flat_fresh = True
+        else:
+            self.flow.state = st
+            self._sync_flat()
+        self.flow.dt.extend(np.asarray(dts).tolist())
+        self.flow.pois_n.extend(np.asarray(iters).reshape(-1).tolist())
+        self.solver_stats = stats[-1]
+        # final V/μ0/μ1/levels were consumed inside the scan; re-derive them
+        # (and the host band bookkeeping) at the final time so subsequent
+        # host-driven steps see exactly the state the loop form would leave
+        self.measure(t=self.time)
         return self
 
     def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
