@@ -161,14 +161,13 @@ class DistSimulation:
     """
 
     def __init__(self, sim: Simulation, mesh: Mesh, engine: str = "auto"):
-        if sim.psolver != "mg":
+        if sim.psolver not in ("mg", "pcg"):
             # the reference honors `pois_ctor` injection (`WaterLily.jl:96-97`)
-            # everywhere; we don't have a distributed PCG, and silently
-            # substituting MG would be worse than refusing
+            # everywhere; silently substituting MG for an unknown custom
+            # solver would be worse than refusing
             raise ValueError(
-                f"DistSimulation supports psolver='mg' only (got "
-                f"{sim.psolver!r}); run custom pressure solvers single-device "
-                "or decompose with the multigrid solver")
+                f"DistSimulation supports psolver='mg' or 'pcg' (got "
+                f"{sim.psolver!r}); run custom pressure solvers single-device")
         cfg = sim.flow.cfg
         D = cfg.D
         self.mesh = mesh
@@ -179,17 +178,24 @@ class DistSimulation:
             if k > 1 and (n % k != 0 or n // k < 2):
                 raise ValueError(
                     f"dim {d}: interior {n} not evenly divisible over {k} shards")
-        shapes, masks, n_dist = mg.dist_n_levels(
-            cfg.shape, self.sizes,
-            min_cells=getattr(sim, "_min_coarse", mg._MIN_COARSE_CELLS))
-        if n_dist < 1:
-            raise ValueError("grid too small to distribute over this mesh")
-        self.masks, self.n_dist = tuple(masks), n_dist
-        from ..ops.poisson import _DENSE_COARSE_MAX
+        self.psolver = sim.psolver
+        if self.psolver == "pcg":
+            # single-level stack, fully distributed: `ops.poisson.solve` is
+            # ctx-aware end to end (halo-synced mult, psum'd dots/norms)
+            self.masks, self.n_dist = (), 1
+            self._coarse_dense = False
+        else:
+            shapes, masks, n_dist = mg.dist_n_levels(
+                cfg.shape, self.sizes,
+                min_cells=getattr(sim, "_min_coarse", mg._MIN_COARSE_CELLS))
+            if n_dist < 1:
+                raise ValueError("grid too small to distribute over this mesh")
+            self.masks, self.n_dist = tuple(masks), n_dist
+            from ..ops.poisson import _DENSE_COARSE_MAX
 
-        # does the replicated coarsest level carry the dense-solve pinv?
-        self._coarse_dense = (math.prod(d - 2 for d in shapes[-1])
-                              <= _DENSE_COARSE_MAX)
+            # does the replicated coarsest level carry the dense-solve pinv?
+            self._coarse_dense = (math.prod(d - 2 for d in shapes[-1])
+                                  <= _DENSE_COARSE_MAX)
         self.sim = sim
         self.cfg = cfg
         # blocked, sharded device state
@@ -253,7 +259,7 @@ class DistSimulation:
         mesh CONTENT (two Mesh objects over the same devices compile
         identically)."""
         return (self.cfg, self.sizes, self.axes, self.masks, self.n_dist,
-                tuple(self.mesh.devices.flatten().tolist()),
+                self.psolver, tuple(self.mesh.devices.flatten().tolist()),
                 tuple(self.mesh.axis_names)) + extra
 
     # ------------------------------------------------------------ jitted steps
@@ -281,6 +287,7 @@ class DistSimulation:
     def _step_fn(self, udf):
         cfg, masks, n_dist = self.cfg, self.masks, self.n_dist
         axes, sizes = self.axes, self.sizes
+        pcg = self.psolver == "pcg"
         state_specs = self._state_specs()
         stats_spec = (state_specs, P(), P(), P())
 
@@ -291,8 +298,23 @@ class DistSimulation:
                      out_specs=stats_spec, check_vma=False)
             def step(state, levels, dt, t0):
                 ctx = make_ctx(axes, sizes, state.p.shape)
+                solve_fn = None
+                if pcg:
+                    # distributed PCG injection (`pois_ctor`,
+                    # `src/WaterLily.jl:96-97`): `ops.poisson.solve` runs
+                    # per-shard with halo-synced mult and psum'd dot
+                    # products/norms — the ctx closes over the shard_map body
+                    from ..ops import poisson as ps
+
+                    def solve_fn(levels, _masks, x, z, tol, itmx, perdir):
+                        x, r, n, stats = ps.solve(levels[0], x, z, tol=tol,
+                                                  itmx=itmx, perdir=perdir,
+                                                  ctx=ctx)
+                        pad = jnp.zeros(stats.shape[:1] + (1,), stats.dtype)
+                        return mg.MGSolveResult(
+                            x, r, n, jnp.concatenate([stats, pad], axis=1))
                 return fl.mom_step_impl(cfg, state, levels, masks, dt, t0,
-                                        udf, None, ctx, n_dist)
+                                        udf, solve_fn, ctx, n_dist)
 
             return (udf, step)
 
