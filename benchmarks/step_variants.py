@@ -68,6 +68,14 @@ def main():
         "band_si4fs6": dict(smooth_it=4, fine_smooth_it=6),
         "band_si3fr": dict(smooth_it=3, fused_resid=True),
         "band_si4fr": dict(smooth_it=4, fused_resid=True),
+        # round-4 solver-budget levers (auto TPU base is smooth_it=2 + mp)
+        "band_fr": dict(fused_resid=True),
+        "band_nopre": dict(fine_presmooth=False),
+        "band_nopre_fr": dict(fine_presmooth=False, fused_resid=True),
+        "band_fs1": dict(fine_smooth_it=1),
+        "band_nopre_fs1": dict(fine_presmooth=False, fine_smooth_it=1),
+        "band_nopre_si3": dict(fine_presmooth=False, smooth_it=3),
+        "band_nompre": dict(mp_smooth=False),
     }
     # env-flag variants (read at trace time): name suffixes after '+'
     # e.g. "band+share" sets WLTPU_CONV_SHARE=1, "band+bx8" sets WLTPU_GS_BX=8

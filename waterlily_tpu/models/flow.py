@@ -123,6 +123,15 @@ class FlowCfg:
                                     # (`pallas_flat.gs_incr`).  Perf opt-in
                                     # (bench config); the library default
                                     # keeps every op at `dtype`.
+    fine_presmooth: bool = True     # run the fine-level Jacobi pre-smooth of
+                                    # each V-cycle (`Vcycle!` smooths every
+                                    # level on the way down,
+                                    # `MultiLevelPoisson.jl:88-101`).  False
+                                    # drops ONLY the l=0 pass — the costliest
+                                    # smoother call of the solve — leaving
+                                    # restriction to act on the raw residual;
+                                    # the dual-norm stop keeps solve quality,
+                                    # so this is a pure cost/strength knob.
 
     @property
     def D(self) -> int:
@@ -376,7 +385,8 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
         lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg_implicit(
             lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir,
             smooth_it=cfg.smooth_it, unroll=cfg.mg_unroll,
-            ctx=ctx, n_dist=n_dist, fine_smooth_it=cfg.fine_smooth_it))
+            ctx=ctx, n_dist=n_dist, fine_smooth_it=cfg.fine_smooth_it,
+            fine_presmooth=cfg.fine_presmooth))
     res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)
     x = res.x
     L = levels[0].L
@@ -506,7 +516,8 @@ class Flow:
                  fused_pc: Optional[bool] = None,
                  fine_smooth_it: Optional[int] = None,
                  fused_resid: Optional[bool] = None,
-                 mp_smooth: Optional[bool] = None):
+                 mp_smooth: Optional[bool] = None,
+                 fine_presmooth: Optional[bool] = None):
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
@@ -519,7 +530,9 @@ class Flow:
                            fused_resid=bool(_env_int("WLTPU_FUSED_RESID",
                                                      fused_resid, 0)),
                            mp_smooth=bool(_env_int("WLTPU_MP_SMOOTH",
-                                                   mp_smooth, 0)))
+                                                   mp_smooth, 0)),
+                           fine_presmooth=bool(_env_int(
+                               "WLTPU_FINE_PRESMOOTH", fine_presmooth, 1)))
         if u0 is not None and not callable(u0):
             u0 = tuple(float(v) for v in u0)   # hashable jit key
         self._refresh = None            # lazy-sync hook (flat-engine backed)

@@ -150,7 +150,7 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
                   smooth_it: int = 4, l: int = 0,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
                   n_dist: int = 0, mp: bool = False,
-                  defer_fine_inc: bool = False):
+                  defer_fine_inc: bool = False, presmooth: bool = True):
     """One V-cycle level step (`Vcycle!`, `MultiLevelPoisson.jl:88-101`) with
     levels < len(mids)+1 in flat layout.
 
@@ -167,8 +167,9 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
     n_flat = 1 + len(fmg.mids)
     n_levels = n_flat + len(fmg.tail)
 
-    x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0,
-                       perdir=perdir, ctx=ctx, mp=mp)
+    if presmooth or l > 0:
+        x, r = jacobi_flat(lv.L, lv.D, lv.iD, x, r, gl, it=1, omega=1.0,
+                           perdir=perdir, ctx=ctx, mp=mp)
     if l + 1 < n_flat:
         clv, gc = _level(fmg, l + 1), geoms[l + 1]
         rc = _restrict_flat(r, gl, masks[l], gc)
@@ -218,7 +219,8 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   unroll: int = 8,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
                   n_dist: int = 0, fine_smooth_it: int = 0,
-                  r0=None, mp: bool = False) -> mg.MGSolveResult:
+                  r0=None, mp: bool = False,
+                  fine_presmooth: bool = True) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
@@ -269,13 +271,15 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
             x, r, eps = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
                                       perdir=perdir, ctx=ctx, ctx3=ctx3,
                                       n_dist=n_dist, mp=mp,
-                                      defer_fine_inc=True)
+                                      defer_fine_inc=True,
+                                      presmooth=fine_presmooth)
             x, r = plf.incr_gs(x, r, eps, f.L, f.D, f.iD, colors_fine,
                                omega, g, mp=mp)
         else:
             x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
                                  perdir=perdir, ctx=ctx, ctx3=ctx3,
-                                 n_dist=n_dist, mp=mp)
+                                 n_dist=n_dist, mp=mp,
+                                 presmooth=fine_presmooth)
             x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g,
                                         it=it_fine, omega=omega,
                                         perdir=perdir, ctx=ctx, mp=mp)

@@ -174,7 +174,7 @@ def update_mg(levels, masks, mu0: jax.Array, perdir: tuple[int, ...] = ()):
 
 def v_cycle(levels, masks, x: jax.Array, r: jax.Array, omega,
             perdir: tuple[int, ...] = (), l: int = 0, smooth_it: int = 4,
-            ctx=None, n_dist: int = 0):
+            ctx=None, n_dist: int = 0, presmooth: bool = True):
     """One V-cycle (`Vcycle!`, `MultiLevelPoisson.jl:88-101`): fine Jacobi
     pre-smooth, restrict residual, recurse, coarse red-black Gauss-Seidel,
     prolongate + increment.  Unrolled over the static level list.
@@ -200,8 +200,9 @@ def v_cycle(levels, masks, x: jax.Array, r: jax.Array, omega,
         eps = slice_local(prolongate(xc, c), ctx)
         return increment(fine, x, r, eps, omega, perdir, ctx)
     sub = ctx if (ctx is not None and l + 1 < n_dist) else None
-    x, r = jacobi(fine, x, r, it=1, omega=1.0, perdir=perdir,
-                  ctx=ctx if l < n_dist else None)
+    if presmooth or l > 0:
+        x, r = jacobi(fine, x, r, it=1, omega=1.0, perdir=perdir,
+                      ctx=ctx if l < n_dist else None)
     rc = restrict(r, c)
     xc = jnp.zeros_like(rc)
     if l + 1 < len(levels) - 1:
@@ -287,7 +288,8 @@ class MGSolveResult(NamedTuple):
 def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
              itmx: int = 32, perdir: tuple[int, ...] = (),
              smooth_it: int = 4, unroll: int = 8, ctx=None,
-             n_dist: int = 0, fine_smooth_it: int = 0) -> MGSolveResult:
+             n_dist: int = 0, fine_smooth_it: int = 0,
+             fine_presmooth: bool = True) -> MGSolveResult:
     """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
     V-cycle + fine smooth per iteration, adaptive relaxation
     ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
@@ -315,7 +317,7 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
     def body(c):
         x, r, r1, rinf, omega, n, stats = c
         x, r = v_cycle(levels, masks, x, r, omega, perdir, 0, smooth_it,
-                       ctx, n_dist)
+                       ctx, n_dist, presmooth=fine_presmooth)
         x, r = gauss_seidel_rb(p, x, r, it=fine_smooth_it or smooth_it,
                                omega=omega, perdir=perdir, ctx=fine_ctx)
         rnew, rinf = norms(r, fine_ctx)
@@ -370,7 +372,8 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
                       tol: float = 2e-3, itmx: int = 32,
                       perdir: tuple[int, ...] = (), smooth_it: int = 4,
                       unroll: int = 8, ctx=None, n_dist: int = 0,
-                      fine_smooth_it: int = 0) -> MGSolveResult:
+                      fine_smooth_it: int = 0,
+                      fine_presmooth: bool = True) -> MGSolveResult:
     """`solve_mg` with implicit forward-mode differentiation.
 
     Differentiating *through* the iterative solver gives lagged tangents: the
@@ -396,7 +399,8 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
     def _solve(levels, x, z):
         return solve_mg(levels, masks, x, z, tol=tol, itmx=itmx,
                         perdir=perdir, smooth_it=smooth_it, unroll=unroll,
-                        ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it)
+                        ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it,
+                        fine_presmooth=fine_presmooth)
 
     @_solve.defjvp
     def _solve_jvp(primals, tangents):
@@ -410,7 +414,8 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
         rhs = dz - dA_x
         dres = solve_mg(levels, masks, dx0, rhs, tol=tol, itmx=itmx,
                         perdir=perdir, smooth_it=smooth_it, unroll=unroll,
-                        ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it)
+                        ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it,
+                        fine_presmooth=fine_presmooth)
         f0 = np.zeros(res.iters.shape, jax.dtypes.float0)
         dout = MGSolveResult(dres.x, dres.r, f0, jnp.zeros_like(res.stats))
         return res, dout

@@ -1112,9 +1112,12 @@ def bc_div_resid_k(u: jax.Array, ubc, x: jax.Array, L: jax.Array,
         scr = [pltpu.VMEM(w.shape, jnp.float32) for w in win[:3]]
         return pl.run_scoped(inner, *scr)
 
+    # vmem_mb=128: at S=528 the 9 double-buffered windows + 3 scratch refs
+    # need 101.5MB scoped — the 100MB default OOMs (first seen via
+    # benchmarks/roofline.py; the knob was previously untested at 256³)
     call = _halo_call(body, Nx, S, n_scalar=3,
                       halos=[1, 0, 0, 1, 1, 0, 0, 0, 0], n_aux=3,
-                      n_out=5, bx=8, pipeline=True)
+                      n_out=5, bx=8, pipeline=True, vmem_mb=128)
     scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
     o = call(scal, [u[0], u[1], u[2], x, L[0], L[1], L[2], D, iD], _planes(g))
     lo, hi = _bc_ghost_rows((u[:, 0], u[:, 1], u[:, -1], u[:, -2]), ubc, g,

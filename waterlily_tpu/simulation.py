@@ -199,6 +199,7 @@ class Simulation:
                  fine_smooth_it: Optional[int] = None,
                  fused_resid: Optional[bool] = None,
                  mp_smooth: Optional[bool] = None,
+                 fine_presmooth: Optional[bool] = None,
                  min_coarse_cells: Optional[int] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
@@ -230,7 +231,7 @@ class Simulation:
         tuning = {} if flow_ctor is not None else dict(
             smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc,
             fine_smooth_it=fine_smooth_it, fused_resid=fused_resid,
-            mp_smooth=mp_smooth)
+            mp_smooth=mp_smooth, fine_presmooth=fine_presmooth)
         self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
                          perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
                          dtype=dtype, tol=tol, itmx=itmx, **tuning)
