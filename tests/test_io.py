@@ -219,9 +219,12 @@ def test_dist_meanflow_reads_live_state():
     assert mf.P.shape == d.state.p.shape
 
 
-def test_dist_rejects_pcg():
-    """`psolver='pcg'` must raise under decomposition, not be silently
-    replaced by multigrid (`pois_ctor` contract, `WaterLily.jl:96-97`)."""
+def test_dist_rejects_unknown_solver():
+    """An unknown custom pressure solver must raise under decomposition, not
+    be silently replaced by multigrid (`pois_ctor` contract,
+    `WaterLily.jl:96-97`).  `psolver='pcg'` itself decomposes since round 4
+    (`tests/test_dist.py::test_dist_pcg_solver`); only solvers the
+    decomposition layer cannot wire refuse."""
     import jax
 
     from waterlily_tpu.parallel.dist import DistSimulation, make_mesh
@@ -229,7 +232,8 @@ def test_dist_rejects_pcg():
     if len(jax.devices()) < 4:
         pytest.skip("needs the virtual multi-device mesh")
     sim = Simulation((32, 16), (1.0, 0.0), 4.0, dtype=F32, psolver="pcg")
-    with pytest.raises(ValueError, match="psolver='mg'"):
+    sim.psolver = "custom"     # an injected solver dist cannot decompose
+    with pytest.raises(ValueError, match="psolver"):
         DistSimulation(sim, make_mesh((4,)))
 
 
