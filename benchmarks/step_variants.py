@@ -76,6 +76,8 @@ def main():
         "band_nopre_fs1": dict(fine_presmooth=False, fine_smooth_it=1),
         "band_nopre_si3": dict(fine_presmooth=False, smooth_it=3),
         "band_nompre": dict(mp_smooth=False),
+        "band_lazy": dict(lazy_solve=True),
+        "band_nopre_lazy": dict(fine_presmooth=False, lazy_solve=True),
     }
     # env-flag variants (read at trace time): name suffixes after '+'
     # e.g. "band+share" sets WLTPU_CONV_SHARE=1, "band+bx8" sets WLTPU_GS_BX=8

@@ -123,6 +123,15 @@ class FlowCfg:
                                     # (`pallas_flat.gs_incr`).  Perf opt-in
                                     # (bench config); the library default
                                     # keeps every op at `dtype`.
+    lazy_solve: bool = False        # skip a projection's V-cycles entirely
+                                    # when the warm-started ENTRY residual
+                                    # already satisfies the dual-norm stop
+                                    # (the reference's do-while always runs
+                                    # one cycle, `MultiLevelPoisson.jl:113`;
+                                    # with dt-scaled warm starts late-run
+                                    # solves often enter converged).  Pure
+                                    # cost knob: the acceptance test is the
+                                    # SAME criterion that ends an iteration.
     fine_presmooth: bool = True     # run the fine-level Jacobi pre-smooth of
                                     # each V-cycle (`Vcycle!` smooths every
                                     # level on the way down,
@@ -386,7 +395,7 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
             lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir,
             smooth_it=cfg.smooth_it, unroll=cfg.mg_unroll,
             ctx=ctx, n_dist=n_dist, fine_smooth_it=cfg.fine_smooth_it,
-            fine_presmooth=cfg.fine_presmooth))
+            fine_presmooth=cfg.fine_presmooth, lazy=cfg.lazy_solve))
     res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)
     x = res.x
     L = levels[0].L
@@ -517,7 +526,8 @@ class Flow:
                  fine_smooth_it: Optional[int] = None,
                  fused_resid: Optional[bool] = None,
                  mp_smooth: Optional[bool] = None,
-                 fine_presmooth: Optional[bool] = None):
+                 fine_presmooth: Optional[bool] = None,
+                 lazy_solve: Optional[bool] = None):
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
@@ -532,7 +542,9 @@ class Flow:
                            mp_smooth=bool(_env_int("WLTPU_MP_SMOOTH",
                                                    mp_smooth, 0)),
                            fine_presmooth=bool(_env_int(
-                               "WLTPU_FINE_PRESMOOTH", fine_presmooth, 1)))
+                               "WLTPU_FINE_PRESMOOTH", fine_presmooth, 1)),
+                           lazy_solve=bool(_env_int("WLTPU_LAZY_SOLVE",
+                                                    lazy_solve, 0)))
         if u0 is not None and not callable(u0):
             u0 = tuple(float(v) for v in u0)   # hashable jit key
         self._refresh = None            # lazy-sync hook (flat-engine backed)

@@ -201,7 +201,8 @@ def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0,
                                ctx=ctx, ctx3=ctx3, n_dist=n_dist,
                                fine_smooth_it=cfg.fine_smooth_it, r0=r0,
                                mp=cfg.mp_smooth,
-                               fine_presmooth=cfg.fine_presmooth)
+                               fine_presmooth=cfg.fine_presmooth,
+                               lazy=cfg.lazy_solve)
     p = res.x / dt_w
     s_cfl = None
     if _kernel_bc_ok(cfg, u, ctx):

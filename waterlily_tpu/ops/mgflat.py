@@ -220,7 +220,8 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
                   n_dist: int = 0, fine_smooth_it: int = 0,
                   r0=None, mp: bool = False,
-                  fine_presmooth: bool = True) -> mg.MGSolveResult:
+                  fine_presmooth: bool = True,
+                  lazy: bool = False) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
     `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
     stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
@@ -250,7 +251,10 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
 
     def cond(c):
         x, r, r1, rinf, omega, n, stats = c
-        return (n < itmx) & ((n == 0) | ~((r1 < r1tol) & (rinf < rinf_tol)))
+        conv = (r1 < r1tol) & (rinf < rinf_tol)
+        if lazy:     # accept a converged warm start (see `solve_mg`)
+            return (n < itmx) & ~conv
+        return (n < itmx) & ((n == 0) | ~conv)
 
     import os as _os
 

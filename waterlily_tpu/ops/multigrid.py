@@ -289,7 +289,7 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
              itmx: int = 32, perdir: tuple[int, ...] = (),
              smooth_it: int = 4, unroll: int = 8, ctx=None,
              n_dist: int = 0, fine_smooth_it: int = 0,
-             fine_presmooth: bool = True) -> MGSolveResult:
+             fine_presmooth: bool = True, lazy: bool = False) -> MGSolveResult:
     """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
     V-cycle + fine smooth per iteration, adaptive relaxation
     ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
@@ -311,8 +311,12 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
     def cond(c):
         x, r, r1, rinf, omega, n, stats = c
         # do-while: the reference always runs the first V-cycle before
-        # testing convergence (`MultiLevelPoisson.jl:113-124`)
-        return (n < itmx) & ((n == 0) | ~((r1 < r1tol) & (rinf < rinf_tol)))
+        # testing convergence (`MultiLevelPoisson.jl:113-124`); `lazy`
+        # accepts a warm start that already satisfies the SAME criterion
+        conv = (r1 < r1tol) & (rinf < rinf_tol)
+        if lazy:
+            return (n < itmx) & ~conv
+        return (n < itmx) & ((n == 0) | ~conv)
 
     def body(c):
         x, r, r1, rinf, omega, n, stats = c
@@ -373,7 +377,8 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
                       perdir: tuple[int, ...] = (), smooth_it: int = 4,
                       unroll: int = 8, ctx=None, n_dist: int = 0,
                       fine_smooth_it: int = 0,
-                      fine_presmooth: bool = True) -> MGSolveResult:
+                      fine_presmooth: bool = True,
+                      lazy: bool = False) -> MGSolveResult:
     """`solve_mg` with implicit forward-mode differentiation.
 
     Differentiating *through* the iterative solver gives lagged tangents: the
@@ -400,7 +405,7 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
         return solve_mg(levels, masks, x, z, tol=tol, itmx=itmx,
                         perdir=perdir, smooth_it=smooth_it, unroll=unroll,
                         ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it,
-                        fine_presmooth=fine_presmooth)
+                        fine_presmooth=fine_presmooth, lazy=lazy)
 
     @_solve.defjvp
     def _solve_jvp(primals, tangents):
@@ -415,7 +420,7 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
         dres = solve_mg(levels, masks, dx0, rhs, tol=tol, itmx=itmx,
                         perdir=perdir, smooth_it=smooth_it, unroll=unroll,
                         ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it,
-                        fine_presmooth=fine_presmooth)
+                        fine_presmooth=fine_presmooth, lazy=lazy)
         f0 = np.zeros(res.iters.shape, jax.dtypes.float0)
         dout = MGSolveResult(dres.x, dres.r, f0, jnp.zeros_like(res.stats))
         return res, dout

@@ -200,6 +200,7 @@ class Simulation:
                  fused_resid: Optional[bool] = None,
                  mp_smooth: Optional[bool] = None,
                  fine_presmooth: Optional[bool] = None,
+                 lazy_solve: Optional[bool] = None,
                  min_coarse_cells: Optional[int] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
@@ -231,7 +232,8 @@ class Simulation:
         tuning = {} if flow_ctor is not None else dict(
             smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc,
             fine_smooth_it=fine_smooth_it, fused_resid=fused_resid,
-            mp_smooth=mp_smooth, fine_presmooth=fine_presmooth)
+            mp_smooth=mp_smooth, fine_presmooth=fine_presmooth,
+            lazy_solve=lazy_solve)
         self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
                          perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
                          dtype=dtype, tol=tol, itmx=itmx, **tuning)
