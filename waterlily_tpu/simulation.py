@@ -161,6 +161,28 @@ def _band_rows(V, mu0, mu1, perdir=()):
     return lo, hi
 
 
+def _band_rows_slab(V, mu0, mu1, perdir, a: int, b: int, Nx: int):
+    """`_band_rows` restricted to padded x rows [a, b) of FULL fields — valid
+    when they came from a banded `measure_fill` over that slab (the far field
+    is exact, so deviations outside are impossible).  Returns global padded
+    row bounds; sentinel (Nx, 0) when nothing deviates."""
+    sl = (slice(None), slice(a, b), slice(1, -1), slice(1, -1))
+    m0 = mu0[sl]
+    exp = jnp.ones_like(m0)
+    if 0 not in perdir and a == 1:
+        exp = exp.at[0, 0].set(0.0)      # x face-1 plane (global row 1)
+    if 1 not in perdir:
+        exp = exp.at[1, :, 0].set(0.0)
+    if 2 not in perdir:
+        exp = exp.at[2, :, :, 0].set(0.0)
+    dev = ((m0 != exp).any(axis=(0, 2, 3)) | (V[sl] != 0).any(axis=(0, 2, 3))
+           | (mu1[(slice(None),) + sl] != 0).any(axis=(0, 1, 3, 4)))
+    ix = jnp.arange(b - a) + a
+    lo = jnp.min(jnp.where(dev, ix, Nx))
+    hi = jnp.max(jnp.where(dev, ix + 1, 0))
+    return lo, hi
+
+
 _band_rows_jit = partial(jax.jit, static_argnames=("perdir",))(_band_rows)
 
 
@@ -590,7 +612,12 @@ class Simulation:
                         fstate = dataclasses.replace(
                             fstate, V=to_flat(V, gm), mu0=to_flat(mu0, gm),
                             mu1=to_flat(mu1, gm))
-                        lo, hi = _band_rows(V, mu0, mu1, cfg.perdir)
+                        if band is not None:
+                            lo, hi = _band_rows_slab(
+                                V, mu0, mu1, cfg.perdir,
+                                max(1, band[0]), min(Nx - 1, band[1]), Nx)
+                        else:
+                            lo, hi = _band_rows(V, mu0, mu1, cfg.perdir)
                         esc = esc_check(esc, lo, hi)
                         fstate, dt_n, iters, stats = ff.mom_step_flat_impl(
                             cfg, fstate, fmg, masks, gm, dt, t0, udf)
