@@ -85,11 +85,14 @@ def main():
     for name in variants:
         base_name, *envs = name.split("+")
         os.environ.pop("WLTPU_CONV_SHARE", None)
+        os.environ.pop("WLTPU_CONV_BX", None)
         os.environ.pop("WLTPU_GS_BX", None)
         os.environ.pop("WLTPU_GS_PIPE", None)
         os.environ.pop("WLTPU_INC_PIPE", None)
         for e in envs:
-            if e == "share":
+            if e.startswith("cbx"):
+                os.environ["WLTPU_CONV_BX"] = e[3:]
+            elif e == "share":
                 os.environ["WLTPU_CONV_SHARE"] = "1"
             elif e == "pipe":
                 os.environ["WLTPU_GS_PIPE"] = "1"

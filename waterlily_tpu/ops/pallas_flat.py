@@ -337,11 +337,41 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
             if share:
                 um1 = [[_rshift(win[i][:], -1), _pshift(win[i][:], -g.Nz),
                         _pshift(win[i][:], -1)] for i in range(3)]
+            # v2 (default): the 6 in-plane fluxes evaluate DIRECTLY on the
+            # bx center rows via dynamic-offset ref reads (a slab read at
+            # pl.ds(co-1, ...) is always in-bounds: co >= 1 at every clamped
+            # block) — the full-(bx+2h)-row recompute + scratch round trip
+            # is only needed for the x flux, whose φ difference crosses rows.
+            # Cuts ~1/3 of the limiter VPU work on 2/3 of the fluxes; the
+            # kernel is VPU-bound (109 GB/s at 256³ — roofline).  v1 via
+            # WLTPU_CONV_V2=0.
+            v2 = os.environ.get("WLTPU_CONV_V2", "1") == "1" and not share
             for i in range(3):
                 fw = win[i][:]
                 ri = jnp.zeros((bx, S, 128), jnp.float32)
                 for j in range(3):
                     st = steps[j]
+                    if v2 and st is not None:
+                        fw_c = win[i][pl.ds(co, bx)]
+                        f_m1 = _pshift(fw_c, -st)
+                        f_m2 = _pshift(fw_c, -2 * st)
+                        f_p1 = _pshift(fw_c, st)
+                        jf = yv if j == 1 else zv
+                        n_j = g.Ny if j == 1 else g.Nz
+                        uj_c = win[j][pl.ds(co, bx)]
+                        if i == 0:
+                            uadv = 0.5 * (uj_c + win[j][pl.ds(co - 1, bx)])
+                        else:
+                            uadv = 0.5 * (uj_c + _pshift(uj_c, -steps[i]))
+                        cds_lo = 0.5 * (fw_c + f_m1)
+                        up = jnp.where(jf == 1, cds_lo,
+                                       scheme(f_m2, f_m1, fw_c))
+                        dn = jnp.where(jf == n_j - 1, cds_lo,
+                                       scheme(f_p1, fw_c, f_m1))
+                        phi_c = uadv * jnp.where(uadv > 0, up, dn) \
+                            - nu_s * (fw_c - f_m1)
+                        ri = ri + (phi_c - _pshift(phi_c, st))
+                        continue
                     if st is None:
                         f_m1 = um1[i][0] if share else _rshift(fw, -1)
                         f_m2 = _rshift(fw, -2)
@@ -393,8 +423,12 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
         return pl.run_scoped(inner, pltpu.VMEM(win[0].shape, jnp.float32))
 
     halos = [h, h, h] + ([0, 0, 0] if fused else [])
+    # bx trades halo-row recompute (window = bx+4 rows → 1.5x shift work at
+    # bx=8, 1.33x at bx=12) against VMEM: the kernel is VPU-bound (109 GB/s
+    # at 256³ — roofline), so larger blocks help until buffers spill
+    cbx = int(os.environ.get("WLTPU_CONV_BX", "8"))
     call = _halo_call(body, Nx, S, n_scalar=4 if fused else 1, halos=halos,
-                      n_aux=3, n_out=6 if fused else 3, bx=8, pipeline=True,
+                      n_aux=3, n_out=6 if fused else 3, bx=cbx, pipeline=True,
                       vmem_mb=128 if fused else 100)
     nu1 = jnp.asarray(nu, jnp.float32).reshape(1, 1)
     zrow = jnp.zeros((1, S, 128), jnp.float32)
