@@ -86,12 +86,21 @@ def main():
         base_name, *envs = name.split("+")
         os.environ.pop("WLTPU_CONV_SHARE", None)
         os.environ.pop("WLTPU_CONV_BX", None)
+        os.environ.pop("WLTPU_BCDIV_BX", None)
+        os.environ.pop("WLTPU_PROJ_BX", None)
+        os.environ.pop("WLTPU_CONV_V2", None)
         os.environ.pop("WLTPU_GS_BX", None)
         os.environ.pop("WLTPU_GS_PIPE", None)
         os.environ.pop("WLTPU_INC_PIPE", None)
         for e in envs:
             if e.startswith("cbx"):
                 os.environ["WLTPU_CONV_BX"] = e[3:]
+            elif e.startswith("pbx"):
+                os.environ["WLTPU_PROJ_BX"] = e[3:]
+            elif e.startswith("dbx"):
+                os.environ["WLTPU_BCDIV_BX"] = e[3:]
+            elif e == "v1":
+                os.environ["WLTPU_CONV_V2"] = "0"
             elif e == "share":
                 os.environ["WLTPU_CONV_SHARE"] = "1"
             elif e == "pipe":

@@ -1079,7 +1079,8 @@ def bc_div_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False):
         return pl.run_scoped(inner, *scr)
 
     call = _halo_call(body, Nx, S, n_scalar=3, halos=[1, 0, 0], n_aux=3,
-                      n_out=4, bx=8, pipeline=True)
+                      n_out=4, bx=int(os.environ.get("WLTPU_BCDIV_BX", "8")),
+                      pipeline=True, vmem_mb=128)
     scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
     o = call(scal, [u[0], u[1], u[2]], _planes(g))
     lo, hi = _bc_ghost_rows((u[:, 0], u[:, 1], u[:, -1], u[:, -2]), ubc, g,
@@ -1233,8 +1234,9 @@ def projbc_k(u: jax.Array, x: jax.Array, L: jax.Array, ubc, g: FlatGeom,
         return pl.run_scoped(inner, scr_e, scr_c, scr_c)
 
     call = _halo_call(body, Nx, S, n_scalar=3, halos=[1, 0, 0, 2, 1, 0, 0],
-                      n_aux=3, n_out=4 if want_cfl else 3, bx=8,
-                      pipeline=True)
+                      n_aux=3, n_out=4 if want_cfl else 3,
+                      bx=int(os.environ.get("WLTPU_PROJ_BX", "8")),
+                      pipeline=True, vmem_mb=128)
     scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
     o = call(scal, [u[0], u[1], u[2], x, L[0], L[1], L[2]], _planes(g))
     lo, hi = _bc_ghost_rows((u[:, 0], _proj_row(u, x, L, g, 1), u[:, -1],
