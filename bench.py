@@ -173,12 +173,17 @@ def _measure(N: int, steps: int, engine: str):
 
         # median-of-3: the tunneled backend shows ~±10% run-to-run variance
         # on a single scan; three timed scans (<2 s overhead at 256^3) make
-        # round-over-round deltas attributable (round-3 verdict item 7)
+        # round-over-round deltas attributable (round-3 verdict item 7).
+        # Every rep re-runs the SAME scan from the SAME settled entry state
+        # — advancing the flow between reps would time progressively harder
+        # solves (a developed wake costs an extra MG iteration), turning the
+        # spread into state drift instead of timing noise.
         reps = int(os.environ.get("WLTPU_BENCH_REPS", "3"))
+        state0, dt0, t00 = state, dt, t0
         rates = []
         for _ in range(reps):
             t_start = time.perf_counter()
-            (state, dt, t0), (dts, iters) = run(state, solver, dt, t0)
+            (state, dt, t0), (dts, iters) = run(state0, solver, dt0, t00)
             pend = float(probe(state))
             elapsed = max(1e-9, time.perf_counter() - t_start - t_base)
             if not math.isfinite(pend) or not math.isfinite(float(dt)):
