@@ -167,7 +167,8 @@ def measure_sdf(body: Body, shape: tuple[int, ...], t=0.0,
 
 def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
                  dtype=jnp.float32, perdir: tuple[int, ...] = (),
-                 exit_bc: bool = False, ctx=None, band_x=None):
+                 exit_bc: bool = False, ctx=None, band_x=None,
+                 band_box=None):
     """Fill the BDIM arrays ``(V, mu0, mu1, sdf)`` from the body geometry
     (`measure!`, `Body.jl:28-51`).
 
@@ -178,16 +179,18 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     fluid).  Returns full padded arrays with the reference's ghost treatment:
     zero-velocity vector BC on mu0 and V.
 
-    ``band_x = (lo, hi)`` (static padded x rows, single-device only) is the
-    TPU analog of the reference's narrow-band `fastd²` early-out
-    (`Body.jl:41` via `AutoBody.jl:31`): the sdf/map/AD sweep — the dominant
-    per-step cost of a moving-body remeasure — runs ONLY on interior rows
-    [lo, hi); everywhere else the moments take their analytic far-field
-    values (μ0 ≡ 1, μ1 ≡ 0, V ≡ 0, before the boundary fill), which is
-    EXACT when the band covers every deviating row (`Simulation.measure`
-    re-measures with a widened band when deviations reach the band edge).
-    Under `vmap` a per-point `fastd²` skip gates only the select, not the
-    compute — row-banding is what actually removes AD work on TPU.
+    ``band_box = ((lo, hi), ...)`` (one static padded-index pair per dim,
+    ``None`` entries = full extent; ``band_x = (lo, hi)`` is shorthand for
+    banding dim 0 only; single-device) is the TPU analog of the reference's
+    narrow-band `fastd²` early-out (`Body.jl:41` via `AutoBody.jl:31`): the
+    sdf/map/AD sweep — the dominant per-step cost of a moving-body
+    remeasure — runs ONLY on the interior box; everywhere else the moments
+    take their analytic far-field values (μ0 ≡ 1, μ1 ≡ 0, V ≡ 0, before
+    the boundary fill), which is EXACT when the box covers every deviating
+    plane (`Simulation.measure` re-measures with a widened box when
+    deviations reach a box face).  Under `vmap` a per-point `fastd²` skip
+    gates only the select, not the compute — box-banding is what actually
+    removes AD work on TPU.
     """
     from ..ops.dist import offsets as dist_offsets
 
@@ -196,18 +199,30 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     band2 = float((2.0 + eps_k) ** 2)
     t = jnp.asarray(t, dtype)
     off = dist_offsets(ctx, shape) if ctx is not None else None
-    banded = band_x is not None and ctx is None
+    if band_box is None and band_x is not None:
+        band_box = (tuple(band_x),) + (None,) * (D - 1)
+    banded = band_box is not None and ctx is None
+    sl, pst = [], []
     if banded:
-        a = max(1, int(band_x[0]))
-        b = min(shape[0] - 1, int(band_x[1]))
-        banded = b - a < inner[0]
+        narrow = False
+        for d in range(D):
+            bd = band_box[d] if d < len(band_box) else None
+            if bd is None:
+                a, b = 1, shape[d] - 1
+            else:
+                a = max(1, int(bd[0]))
+                b = min(shape[d] - 1, int(bd[1]))
+                narrow = narrow or (b - a < inner[d])
+            sl.append(slice(a, b))
+            pst.append(slice(a - 1, b - 1))   # interior-index space
+        banded = narrow
     if not banded:
-        a, b = 1, shape[0] - 1
-    xsl = (slice(a, b),) + (slice(1, -1),) * (D - 1)
-    paste = (slice(a - 1, b - 1),)          # interior-index space
-    inner_b = (b - a,) + inner[1:]
+        sl = [slice(1, -1)] * D
+        pst = [slice(None)] * D
+    xsl, paste = tuple(sl), tuple(pst)
 
     coords_c = loc_grid(None, shape, dtype, off)[(slice(None),) + xsl]
+    inner_b = coords_c.shape[1:]
     sig = jax.vmap(lambda x: body.measure_at(x, t, band2)[0])(
         coords_c.reshape(D, -1).T).reshape(inner_b).astype(dtype)
     in_band = sig**2 < band2

@@ -117,6 +117,13 @@ class FlowCfg:
                                     # (μ0≠1 | μ1≠0 | V≠0); set at measure time
                                     # by `Simulation`, enables the band-sparse
                                     # BDIM fast path (`pallas_flat.bdim_band`)
+    band_box: Optional[tuple] = None
+                                    # per-dim static (lo, hi) pairs bounding
+                                    # the same deviating cells in EVERY dim —
+                                    # the measure-time narrow-band box
+                                    # (`models.body.measure_fill(band_box=)`);
+                                    # maintained alongside band_x by
+                                    # `Simulation._set_band`
     mp_smooth: bool = False         # mixed-precision MG smoothing on the flat
                                     # kernel path: bf16 coefficients +
                                     # correction cascade, f32 x/r updates

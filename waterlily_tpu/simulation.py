@@ -53,10 +53,9 @@ def _build_jit(body, state, t, cfg, eps_k, masks, flat, has_body):
         state = dataclasses.replace(state, V=V, mu0=mu0, mu1=mu1)
     levels = mg.update_mg(None, masks, state.mu0, cfg.perdir)
     if has_body and flat:
-        lo, hi = _band_rows(state.V, state.mu0, state.mu1, cfg.perdir)
-        band = jnp.stack([lo, hi])
+        band = _band_box(state.V, state.mu0, state.mu1, cfg.perdir)
     else:
-        band = jnp.zeros((2,), jnp.int32)
+        band = jnp.zeros((len(cfg.shape), 2), jnp.int32)
     if flat:
         gm = fo.geom_of(cfg.shape)
         fstate = ff.state_to_flat(state, gm)
@@ -72,26 +71,26 @@ def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat, use_band=False):
     measure + MG re-restriction + flat-field refresh + band bounds in one
     device program.  ``fstate`` is the authoritative flat state whose u/p are
     left untouched (only V/μ0/μ1 refresh).  ``use_band`` restricts the
-    sdf/AD sweep to the ``cfg.band_x`` x-slab (`measure_fill` banding — the
-    TPU analog of the reference's narrow-band `fastd²` early-out,
-    `Body.jl:28-51`); the caller re-measures wider when the returned band
-    bounds touch the measured edge."""
+    sdf/AD sweep to the ``cfg.band_box`` bounding box (`measure_fill`
+    box-banding — the TPU analog of the reference's narrow-band `fastd²`
+    early-out, `Body.jl:28-51`); the caller re-measures wider when the
+    returned deviation bounds touch a box face."""
     from .ops import mgflat
     from .ops.flat import geom_of, to_flat
 
+    box = cfg.band_box if use_band else None
     V, mu0, mu1, _ = measure_fill(body, cfg.shape, t, eps_k, cfg.dtype,
-                                  cfg.perdir, cfg.exit_bc,
-                                  band_x=cfg.band_x if use_band else None)
+                                  cfg.perdir, cfg.exit_bc, band_box=box)
     levels = mg.update_mg(None, masks, mu0, cfg.perdir)
     if flat:
-        lo, hi = _band_rows(V, mu0, mu1, cfg.perdir)
-        band = jnp.stack([lo, hi])
+        band = _band_box(V, mu0, mu1, cfg.perdir, box)
         gm = geom_of(cfg.shape)
         fmg = mgflat._flatten_stack(levels, gm, masks)
         fstate = dataclasses.replace(fstate, V=to_flat(V, gm),
                                      mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
         return (V, mu0, mu1), levels, band, fstate, fmg
-    return (V, mu0, mu1), levels, jnp.zeros((2,), jnp.int32), None, None
+    return ((V, mu0, mu1), levels,
+            jnp.zeros((len(cfg.shape), 2), jnp.int32), None, None)
 
 
 def _on_tpu() -> bool:
@@ -135,55 +134,48 @@ def check_fn(f, D: int, dtype, nargs: int, name: str) -> None:
                 f"{jnp.shape(out)} for i={i}")
 
 
-def _band_rows(V, mu0, mu1, perdir=()):
-    """x rows (axis 1 of the 3D fields) whose INTERIOR cells deviate from the
-    canonical far-field BDIM pattern: μ1 = 0, V = 0, and μ0 = 1 except the
-    normal-face index-1 plane of each non-periodic direction, which the
-    measure-time BC fill zeroes (`measure_fill`: `bc_vector(mu0, zeros)`).
-    Ghost-plane values are excluded: the BDIM update is interior-masked, μ1
-    is only ever read at interior cells, and the ±1-halo slab of `bdim_band`
-    brings the true ghost planes of band rows along."""
-    itr = (slice(None), slice(1, -1), slice(1, -1), slice(1, -1))
-    m0 = mu0[itr]
-    exp = jnp.ones_like(m0)
-    if 0 not in perdir:
-        exp = exp.at[0, 0].set(0.0)         # x = 1 (interior-sliced index 0)
-    if 1 not in perdir:
-        exp = exp.at[1, :, 0].set(0.0)      # y = 1
-    if 2 not in perdir:
-        exp = exp.at[2, :, :, 0].set(0.0)   # z = 1
-    dev = ((m0 != exp).any(axis=(0, 2, 3)) | (V[itr] != 0).any(axis=(0, 2, 3))
-           | (mu1[(slice(None),) + itr] != 0).any(axis=(0, 1, 3, 4)))
-    n = dev.shape[0]                        # interior rows 1..n (global)
-    ix = jnp.arange(n) + 1
-    lo = jnp.min(jnp.where(dev, ix, n + 1))
-    hi = jnp.max(jnp.where(dev, ix + 1, 0))
-    return lo, hi
+def _band_box(V, mu0, mu1, perdir=(), box=None):
+    """Per-dim padded-index ``(lo, hi)`` bounds of the INTERIOR cells that
+    deviate from the canonical far-field BDIM pattern: μ1 = 0, V = 0, and
+    μ0 = 1 except the normal-face index-1 plane of each non-periodic
+    direction, which the measure-time BC fill zeroes (`measure_fill`:
+    `bc_vector(mu0, zeros)`).  Ghost-plane values are excluded: the BDIM
+    update is interior-masked, μ1 is only ever read at interior cells, and
+    the ±1-halo slab of `bdim_band` brings the true ghost planes along.
 
-
-def _band_rows_slab(V, mu0, mu1, perdir, a: int, b: int, Nx: int):
-    """`_band_rows` restricted to padded x rows [a, b) of FULL fields — valid
-    when they came from a banded `measure_fill` over that slab (the far field
-    is exact, so deviations outside are impossible).  Returns global padded
-    row bounds; sentinel (Nx, 0) when nothing deviates."""
-    sl = (slice(None), slice(a, b), slice(1, -1), slice(1, -1))
+    ``box`` (per-dim pairs or None) restricts the examined region — valid
+    when the fields came from a banded measure over that box (the far field
+    outside it is exact by construction).  Returns a ``(D, 2)`` int array;
+    dim d reads ``(shape[d], 0)`` when nothing deviates."""
+    D = mu0.shape[0]
+    shape = mu0.shape[1:]
+    if box is None:
+        box = (None,) * D
+    bounds = []
+    for d in range(D):
+        bd = box[d] if d < len(box) else None
+        a = 1 if bd is None else max(1, int(bd[0]))
+        b = shape[d] - 1 if bd is None else min(shape[d] - 1, int(bd[1]))
+        bounds.append((a, b))
+    sl = (slice(None),) + tuple(slice(a, b) for a, b in bounds)
     m0 = mu0[sl]
     exp = jnp.ones_like(m0)
-    if 0 not in perdir and a == 1:
-        exp = exp.at[0, 0].set(0.0)      # x face-1 plane (global row 1)
-    if 1 not in perdir:
-        exp = exp.at[1, :, 0].set(0.0)
-    if 2 not in perdir:
-        exp = exp.at[2, :, :, 0].set(0.0)
-    dev = ((m0 != exp).any(axis=(0, 2, 3)) | (V[sl] != 0).any(axis=(0, 2, 3))
-           | (mu1[(slice(None),) + sl] != 0).any(axis=(0, 1, 3, 4)))
-    ix = jnp.arange(b - a) + a
-    lo = jnp.min(jnp.where(dev, ix, Nx))
-    hi = jnp.max(jnp.where(dev, ix + 1, 0))
-    return lo, hi
-
-
-_band_rows_jit = partial(jax.jit, static_argnames=("perdir",))(_band_rows)
+    for d in range(D):
+        if d not in perdir and bounds[d][0] == 1:
+            # face-1 plane of dim d (global padded index 1)
+            exp = exp.at[(d,) + (slice(None),) * d + (0,)].set(0.0)
+    dev_cell = ((m0 != exp).any(axis=0) | (V[sl] != 0).any(axis=0)
+                | (mu1[(slice(None),) + sl] != 0).any(axis=(0, 1)))
+    out = []
+    for d in range(D):
+        axes = tuple(k for k in range(D) if k != d)
+        dev = dev_cell.any(axis=axes)
+        a, b = bounds[d]
+        ix = jnp.arange(b - a) + a
+        lo = jnp.min(jnp.where(dev, ix, shape[d]))
+        hi = jnp.max(jnp.where(dev, ix + 1, 0))
+        out.append(jnp.stack([lo, hi]))
+    return jnp.stack(out)
 
 
 _BAND_PAD = 4    # extra rows so a slowly-drifting body doesn't retrace
@@ -335,31 +327,41 @@ class Simulation:
         return self.flow.pois_n
 
     def _set_band(self, band):
-        """Maintain ``cfg.band_x`` — the static x-row interval with
-        nontrivial BDIM moments — enabling the band-sparse BDIM kernel
-        (`ops.pallas_flat.bdim_band`).  ``band`` is the (2,) device array of
-        raw [lo, hi) bounds computed inside the fused build/remeasure program
-        (`_band_rows`), or None when the band path is inactive.  The stored
-        interval carries ``_BAND_PAD`` slack rows so a slowly drifting body
-        re-traces only every few cells of travel; an escape widens it
-        (correctness is never at stake: outside the measured rows μ0 ≡ 1,
-        μ1 ≡ 0, V ≡ 0 exactly)."""
+        """Maintain ``cfg.band_x`` (the x-row interval enabling the
+        band-sparse BDIM kernel, `ops.pallas_flat.bdim_band`) and
+        ``cfg.band_box`` (the per-dim measure-time narrow-band box,
+        `measure_fill(band_box=)`).  ``band`` is the (D, 2) device array of
+        raw per-dim [lo, hi) deviation bounds computed inside the fused
+        build/remeasure program (`_band_box`), or None when the band path is
+        inactive.  The stored intervals carry ``_BAND_PAD`` slack so a
+        slowly drifting body re-traces only every few cells of travel; an
+        escape widens them (correctness is never at stake: outside the
+        measured box μ0 ≡ 1, μ1 ≡ 0, V ≡ 0 exactly)."""
         if band is None:
             return
         import numpy as np
 
-        lo, hi = (int(v) for v in np.asarray(band))   # one host sync
+        arr = np.asarray(band)                        # one host sync
         cfg = self.flow.cfg
-        cur = cfg.band_x
+        cur, cur_box = cfg.band_x, cfg.band_box
+        lo, hi = int(arr[0, 0]), int(arr[0, 1])
         if hi <= lo:
-            band_t = None
+            band_t, box_t = None, None
         else:
+            box_t = tuple(
+                (max(1, int(arr[d, 0]) - _BAND_PAD),
+                 min(cfg.shape[d] - 1, int(arr[d, 1]) + _BAND_PAD))
+                for d in range(len(cfg.shape)))
             Nx = cfg.shape[0]
-            if cur is not None and cur[0] <= lo and hi <= cur[1]:
-                return   # raw bounds still inside the stored padded interval
+            inside = cur is not None and cur_box is not None and all(
+                cur_box[d][0] <= int(arr[d, 0]) and int(arr[d, 1]) <= cur_box[d][1]
+                for d in range(len(cfg.shape)))
+            if inside:
+                return   # raw bounds still inside the stored padded box
             band_t = (max(1, lo - _BAND_PAD), min(Nx - 1, hi + _BAND_PAD))
-        if band_t != cur:
-            self.flow.cfg = dataclasses.replace(cfg, band_x=band_t)
+        if band_t != cur or box_t != cur_box:
+            self.flow.cfg = dataclasses.replace(cfg, band_x=band_t,
+                                                band_box=box_t)
 
     # ------------------------------------------------------------- stepping
     def measure(self, t: Optional[float] = None):
@@ -372,10 +374,10 @@ class Simulation:
             t = self.time + self.flow.dt[-1]
         if self.psolver == "mg":
             # fused: measure + MG re-restriction + flat refresh + band bounds
-            # in ONE device program (`_remeasure_jit`).  With a known band
-            # the sdf/AD sweep is restricted to that x-slab; if the measured
-            # deviations touch the slab edge the body may extend past it, so
-            # the band is widened around the raw bounds and the measure
+            # in ONE device program (`_remeasure_jit`).  With a known box
+            # the sdf/AD sweep is restricted to it; if the measured
+            # deviations touch a box face the body may extend past it, so
+            # the box is widened around the raw bounds and the measure
             # re-runs (the host-side escape loop that makes banding exact).
             flat_on = self._flat is not None
             fstate = self._flat["state"] if flat_on else None
@@ -383,28 +385,36 @@ class Simulation:
 
             for _ in range(8):
                 use_band = (flat_on and self._band_measure
-                            and cfg.band_x is not None)
+                            and cfg.band_box is not None)
                 (V, mu0, mu1), self.levels, band, fstate, fmg = _remeasure_jit(
                     self.body, fstate, jnp.asarray(t, cfg.dtype), cfg,
                     float(self.eps), self.masks, flat_on, use_band)
                 if not use_band:
                     break
-                lo_r, hi_r = (int(v) for v in np.asarray(band))
-                blo, bhi = cfg.band_x
-                if hi_r <= lo_r:
-                    # nothing found in the band: the body left it entirely
+                arr = np.asarray(band)
+                box = cfg.band_box
+                if int(arr[0, 1]) <= int(arr[0, 0]):
+                    # nothing found in the box: the body left it entirely
                     # (teleport-scale motion) — relocate with a full measure
-                    self.flow.cfg = cfg = dataclasses.replace(cfg, band_x=None)
+                    self.flow.cfg = cfg = dataclasses.replace(
+                        cfg, band_x=None, band_box=None)
                     continue
-                if (lo_r > blo or blo <= 1) and (hi_r < bhi
-                                                 or bhi >= cfg.shape[0] - 1):
+                ok = all(
+                    (int(arr[d, 0]) > box[d][0] or box[d][0] <= 1)
+                    and (int(arr[d, 1]) < box[d][1]
+                         or box[d][1] >= cfg.shape[d] - 1)
+                    for d in range(len(cfg.shape)))
+                if ok:
                     break      # strictly inside (or clamped at the domain)
-                Nx = cfg.shape[0]
-                wide = (max(1, min(lo_r, blo) - 2 * _BAND_PAD),
-                        min(Nx - 1, max(hi_r, bhi) + 2 * _BAND_PAD))
-                if wide == cfg.band_x:
+                wide = tuple(
+                    (max(1, min(int(arr[d, 0]), box[d][0]) - 2 * _BAND_PAD),
+                     min(cfg.shape[d] - 1,
+                         max(int(arr[d, 1]), box[d][1]) + 2 * _BAND_PAD))
+                    for d in range(len(cfg.shape)))
+                if wide == box:
                     break
-                self.flow.cfg = cfg = dataclasses.replace(cfg, band_x=wide)
+                self.flow.cfg = cfg = dataclasses.replace(
+                    cfg, band_x=wide[0], band_box=wide)
             self.flow._state = dataclasses.replace(self.flow._state,
                                                    V=V, mu0=mu0, mu1=mu1)
             if flat_on:
@@ -581,19 +591,22 @@ class Simulation:
         for _ in range(8):
             cfg = self.flow.cfg
             flat_on = self._flat is not None
-            band = cfg.band_x if (flat_on and self._band_measure) else None
+            box = cfg.band_box if (flat_on and self._band_measure) else None
+            D = cfg.D
             key = ("sim_scan_meas", n, flat_on, cfg, self.masks, id(udf))
 
             def mk():
                 masks, eps_k = self.masks, float(self.eps)
-                Nx = cfg.shape[0]
 
-                def esc_check(esc, lo, hi):
-                    if band is None:
+                def esc_check(esc, bnds):
+                    if box is None:
                         return esc
-                    blo, bhi = band
-                    return (esc | ((lo <= blo) & (blo > 1))
-                            | ((hi >= bhi) & (bhi < Nx - 1)) | (hi <= lo))
+                    for d in range(D):
+                        lo, hi = bnds[d, 0], bnds[d, 1]
+                        esc = (esc | ((lo <= box[d][0]) & (box[d][0] > 1))
+                               | ((hi >= box[d][1])
+                                  & (box[d][1] < cfg.shape[d] - 1)))
+                    return esc | (bnds[0, 1] <= bnds[0, 0])
 
                 if flat_on:
                     from .models import flowflat as ff
@@ -606,37 +619,32 @@ class Simulation:
                         fstate, dt, t0, esc = carry
                         V, mu0, mu1, _ = measure_fill(
                             body, cfg.shape, t0 + dt, eps_k, cfg.dtype,
-                            cfg.perdir, cfg.exit_bc, band_x=band)
+                            cfg.perdir, cfg.exit_bc, band_box=box)
                         levels = mg.update_mg(None, masks, mu0, cfg.perdir)
                         fmg = mgflat._flatten_stack(levels, gm, masks)
                         fstate = dataclasses.replace(
                             fstate, V=to_flat(V, gm), mu0=to_flat(mu0, gm),
                             mu1=to_flat(mu1, gm))
-                        if band is not None:
-                            lo, hi = _band_rows_slab(
-                                V, mu0, mu1, cfg.perdir,
-                                max(1, band[0]), min(Nx - 1, band[1]), Nx)
-                        else:
-                            lo, hi = _band_rows(V, mu0, mu1, cfg.perdir)
-                        esc = esc_check(esc, lo, hi)
+                        bnds = _band_box(V, mu0, mu1, cfg.perdir, box)
+                        esc = esc_check(esc, bnds)
                         fstate, dt_n, iters, stats = ff.mom_step_flat_impl(
                             cfg, fstate, fmg, masks, gm, dt, t0, udf)
                         return ((fstate, dt_n, t0 + dt, esc),
-                                (dt_n, iters, stats, jnp.stack([lo, hi])))
+                                (dt_n, iters, stats, bnds))
                 else:
                     def one(carry, _, body):
                         state, dt, t0, esc = carry
                         V, mu0, mu1, _ = measure_fill(
                             body, cfg.shape, t0 + dt, eps_k, cfg.dtype,
-                            cfg.perdir, cfg.exit_bc, band_x=band)
+                            cfg.perdir, cfg.exit_bc, band_box=box)
                         levels = mg.update_mg(None, masks, mu0, cfg.perdir)
                         state = dataclasses.replace(state, V=V, mu0=mu0,
                                                     mu1=mu1)
                         state, dt_n, iters, stats = fl.mom_step_impl(
                             cfg, state, levels, masks, dt, t0, udf, None)
-                        z = jnp.zeros((), jnp.int32)
+                        z = jnp.zeros((D, 2), jnp.int32)
                         return ((state, dt_n, t0 + dt, esc),
-                                (dt_n, iters, stats, jnp.stack([z, z])))
+                                (dt_n, iters, stats, z))
 
                 @jax.jit
                 def run(state, body, dt, t0):
@@ -652,18 +660,23 @@ class Simulation:
             t0 = jnp.asarray(self.time, cfg.dtype)
             (st, dt_n, _, esc), (dts, iters, stats, bands) = run(
                 st0, self.body, dt, t0)
-            if band is not None and bool(esc):
-                lo_r = int(np.asarray(bands[:, 0]).min())
-                hi_r = int(np.asarray(bands[:, 1]).max())
-                blo, bhi = band
-                Nx = cfg.shape[0]
-                if hi_r <= lo_r:        # body left the band: full measure
+            if box is not None and bool(esc):
+                arr = np.asarray(bands)          # (n, D, 2)
+                lo_r = arr[:, :, 0].min(axis=0)  # per-dim over all steps
+                hi_r = arr[:, :, 1].max(axis=0)
+                if int(hi_r[0]) <= int(lo_r[0]):   # body left the box
                     wide = None
+                    band_x = None
                 else:
-                    wide = (max(1, min(lo_r, blo) - 2 * _BAND_PAD),
-                            min(Nx - 1, max(hi_r, bhi) + 2 * _BAND_PAD))
-                if wide != band:
-                    self.flow.cfg = dataclasses.replace(cfg, band_x=wide)
+                    wide = tuple(
+                        (max(1, min(int(lo_r[d]), box[d][0]) - 2 * _BAND_PAD),
+                         min(cfg.shape[d] - 1,
+                             max(int(hi_r[d]), box[d][1]) + 2 * _BAND_PAD))
+                        for d in range(D))
+                    band_x = wide[0]
+                if wide != box:
+                    self.flow.cfg = dataclasses.replace(
+                        cfg, band_x=band_x, band_box=wide)
                     continue            # redo from the saved entry state
             break
         if flat_on:
