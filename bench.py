@@ -181,19 +181,31 @@ def _measure(N: int, steps: int, engine: str):
         reps = int(os.environ.get("WLTPU_BENCH_REPS", "3"))
         state0, dt0, t00 = state, dt, t0
         rates = []
-        for _ in range(reps):
+        prev = jnp.zeros((), dt0.dtype)
+        for k in range(reps):
+            # per-rep BITWISE-distinct inputs (1e-6-relative dt nudge; same
+            # iteration counts) + a data-dependency chain through the prior
+            # rep's output: with identical inputs the tunneled runtime was
+            # observed to short-circuit re-execution (128^3 "ran" 10 steps
+            # in 5 ms on reps 2-3), which faked a 79% spread
+            dt_k = dt0 * (1.0 + k * 1e-6) + 0.0 * prev
             t_start = time.perf_counter()
-            (state, dt, t0), (dts, iters) = run(state0, solver, dt0, t00)
+            (state, dt, t0), (dts, iters) = run(state0, solver, dt_k, t00)
             pend = float(probe(state))
             elapsed = max(1e-9, time.perf_counter() - t_start - t_base)
             if not math.isfinite(pend) or not math.isfinite(float(dt)):
                 raise RuntimeError(f"{N}^3 simulation diverged during "
                                    "measurement")
+            prev = dt
             rates.append(N ** 3 * steps / elapsed)
         it = [int(v) for v in iters[-1]]
         rates.sort()
         med = rates[len(rates) // 2]
         spread = (rates[-1] - rates[0]) / med if med else 0.0
+        if spread > 0.3:
+            # a rep short-circuited anyway: the SLOWEST rep is the only one
+            # guaranteed to contain the full execution
+            med = rates[0]
         print(f"# {N}^3 final dt={float(dt):.3f} pois_iters={it} (scan mode, "
               f"{reps} reps, spread {100 * spread:.1f}%)",
               file=sys.stderr, flush=True)
