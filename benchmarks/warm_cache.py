@@ -34,7 +34,7 @@ def main():
         if cp.returncode != 0:
             sys.stderr.write(cp.stderr[-2000:])
     # moving-body rung (bench.py runs it after the static ladder)
-    mn = os.environ.get("WLTPU_BENCH_MOVING", "192")
+    mn = os.environ.get("WLTPU_BENCH_MOVING", "128")
     if mn != "0":
         env = dict(os.environ, WLTPU_BENCH_MOVING_N=mn,
                    WLTPU_BENCH_BUDGET_S="3600")
