@@ -272,10 +272,10 @@ def test_band_bdim_parity_interpret():
         cfg = sim.flow.cfg
         g = fo.geom_of(cfg.shape)
         fmg, masks, _ = mgflat.make_mg_flat(sim.flow.state.mu0)
-        from waterlily_tpu.simulation import _band_rows_jit
+        from waterlily_tpu.simulation import _band_box
 
         st = sim.flow.state
-        lo, hi = _band_rows_jit(st.V, st.mu0, st.mu1)
+        lo, hi = _band_box(st.V, st.mu0, st.mu1)[0]
         cfg = dataclasses.replace(
             cfg, band_x=None if band_off else (int(lo), int(hi)))
         sf = ff.state_to_flat(st, g)
