@@ -46,6 +46,21 @@ def test_conv_diff_k():
     assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_conv_cheap_f_rows():
+    """Band-guarded f write-back: u_new identical to the unguarded call and
+    f exact on the guarded row range (rows outside are undefined)."""
+    g, u, *_ = _fields()
+    u0 = u + 0.05
+    dt = jnp.float32(0.2)
+    nu = jnp.float32(0.1)
+    full = plf.conv_diff_k(u, nu, fl.quick, g, cheap=(u0, dt, 0.0, 1.0))
+    band = plf.conv_diff_k(u, nu, fl.quick, g, cheap=(u0, dt, 0.0, 1.0),
+                           f_rows=(4, 9))
+    assert np.allclose(np.asarray(band[0]), np.asarray(full[0]), atol=1e-6)
+    assert np.allclose(np.asarray(band[1][:, 4:9]),
+                       np.asarray(full[1][:, 4:9]), atol=1e-6)
+
+
 def test_bdim_k():
     g, u, x, r, L, D, iD, ks = _fields()
     u0 = u + 0.1
@@ -165,7 +180,10 @@ def test_projbc_k(save_exit, want_cfl):
                                save_exit)
     plf._INTERPRET = True
     if want_cfl:
+        # s is now an (8, 128) in-kernel MAX partial — only max(s) is
+        # consumed (the CFL reduction), so compare the maxima
         got_u, got_s = got
+        assert got_s.shape == (8, 128)
         plf._INTERPRET = False
         s = jnp.zeros(want_u.shape[1:], want_u.dtype)
         for i, st in ((0, None), (1, g.Nz), (2, 1)):
@@ -174,7 +192,8 @@ def test_projbc_k(save_exit, want_cfl):
             s = s + jnp.maximum(0.0, up) + jnp.maximum(0.0, -want_u[i])
         want_s = fo.zero_ghost_flat(s, g)
         plf._INTERPRET = True
-        assert np.allclose(np.asarray(got_s), np.asarray(want_s), atol=4e-6)
+        assert np.isclose(float(jnp.max(got_s)), float(jnp.max(want_s)),
+                          atol=4e-6)
     else:
         got_u = got
     assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=4e-6)
@@ -311,6 +330,28 @@ def test_incr_gs_fused_tail(mp):
         sc = max(1.0, float(jnp.abs(want_i).max()))
         assert np.allclose(np.asarray(got_i), np.asarray(want_i),
                            atol=tol * sc)
+
+
+@pytest.mark.parametrize("bx", ["5", "12"])
+def test_incr_gs_want_norms(monkeypatch, bx):
+    """In-kernel (L1, Linf) small-output norms == `norms_flat` of the
+    returned residual — including when the clamped last block re-covers
+    rows (bx=5 on a 12-row coverage: blocks at ox 1, 6, 8 overlap rows
+    8-10, which the fresh-row mask must not double-sum)."""
+    monkeypatch.setenv("WLTPU_GS_BX", bx)
+    g, u, x, r, L, D, iD, ks = _fields()
+    r = fo.zero_ghost_flat(r, g)
+    eps = fo.zero_ghost_flat(0.3 * fo.to_flat(
+        jax.random.normal(ks[4], (12, 10, 7), F32), g), g)
+    om = jnp.float32(0.8)
+    colors = [(1 - 3 - k0) % 2 for k0 in range(1, 3)]
+    xo, ro, (r1, rinf) = plf.incr_gs(x, r, eps, L, D, iD, colors, om, g,
+                                     want_norms=True)
+    plf._INTERPRET = False
+    want_r1, want_rinf = fo.norms_flat(ro)
+    plf._INTERPRET = True
+    assert np.isclose(float(r1), float(want_r1), rtol=1e-5)
+    assert np.isclose(float(rinf), float(want_rinf), rtol=1e-6)
 
 
 def test_solve_fused_tail_matches_sequential():

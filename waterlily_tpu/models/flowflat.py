@@ -192,10 +192,13 @@ def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0,
     tail also emits the CFL summand field (`projbc_k`)."""
     from ..ops import pallas_flat as plf
 
-    if z is None:
+    if z is None and r0 is None:
         z = div_flat(u, g)
     x = p * dt_w if x0 is None else x0
-    res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
+    # with r0 the RHS is never read by the solve (the loop keeps a running
+    # residual) — any same-shaped array stands in for z
+    res = mgflat.solve_mg_flat(fmg, masks, x, z if z is not None else r0,
+                               g, tol=cfg.tol,
                                itmx=cfg.itmx, smooth_it=cfg.smooth_it,
                                unroll=cfg.mg_unroll, perdir=cfg.perdir,
                                ctx=ctx, ctx3=ctx3, n_dist=n_dist,
@@ -275,9 +278,14 @@ def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
     # the body's x-slab runs the full μ-weighted update (`bdim_band` split)
     if (plf.use_pallas_flat(u_adv) and plain and cfg.band_x is not None
             and u_adv is u_base):
-        u, f = plf.conv_diff_k(u_adv, state.nu, cfg.scheme, g,
-                               cheap=(u0, dt, float(keep_base), float(scale)))
         lo, hi = cfg.band_x
+        # f is consumed only on the band slab rows [lo−1, hi+1): skip its
+        # write-back DMA outside them — safe only when the slab stays clear
+        # of the never-written ghost rows 0 / Nx−1
+        f_rows = (lo - 1, hi + 1) if (2 <= lo < hi <= g.Nx - 2) else None
+        u, f = plf.conv_diff_k(u_adv, state.nu, cfg.scheme, g,
+                               cheap=(u0, dt, float(keep_base), float(scale)),
+                               f_rows=f_rows)
         if hi > lo:
             sl = slice(lo - 1, hi + 1)
             gs = geom_of((hi - lo + 2, g.Ny, g.Nz))
@@ -320,9 +328,12 @@ def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
         """post-half-step BC (+ divergence [+ solve-entry residual], fused
         when kernel-eligible)."""
         if fuse_resid:
+            # want_z=False: the solve runs off the entry residual r0 and
+            # never reads the RHS again — skip the dead z field write
             x0 = p * dt_w
             u, z, r0 = plf.bc_div_resid_k(u, cfg.ubc, x0, fmg.fine.L,
-                                          fmg.fine.D, fmg.fine.iD, g)
+                                          fmg.fine.D, fmg.fine.iD, g,
+                                          want_z=False)
             return u, z, x0, r0
         if fuse_bc:
             u, z = plf.bc_div_k(u, cfg.ubc, g, save_exit=False)

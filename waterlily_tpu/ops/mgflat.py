@@ -277,8 +277,11 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                                       n_dist=n_dist, mp=mp,
                                       defer_fine_inc=True,
                                       presmooth=fine_presmooth)
-            x, r = plf.incr_gs(x, r, eps, f.L, f.D, f.iD, colors_fine,
-                               omega, g, mp=mp)
+            # in-kernel norms: the stop-criterion (L₁, L∞) accumulate inside
+            # the fused tail pass — no separate full-r `norms_flat` read
+            x, r, (rnew, rinf) = plf.incr_gs(x, r, eps, f.L, f.D, f.iD,
+                                             colors_fine, omega, g, mp=mp,
+                                             want_norms=True)
         else:
             x, r = _v_cycle_flat(fmg, masks, x, r, omega, g, smooth_it,
                                  perdir=perdir, ctx=ctx, ctx3=ctx3,
@@ -287,7 +290,7 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
             x, r = gauss_seidel_rb_flat(f.L, f.D, f.iD, x, r, g,
                                         it=it_fine, omega=omega,
                                         perdir=perdir, ctx=ctx, mp=mp)
-        rnew, rinf = norms_flat(r, ctx)
+            rnew, rinf = norms_flat(r, ctx)
         omega = jnp.where(rnew >= r1,
                           jnp.maximum(jnp.asarray(0.2, dtype), 0.9 * omega),
                           jnp.minimum(jnp.asarray(1.0, dtype), 1.02 * omega))

@@ -119,7 +119,8 @@ def _rshift(a: jax.Array, s: int) -> jax.Array:
 def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
                halos: list[int], n_aux: int, n_out: int, bx: int,
                vmem_mb: int = 100, cover_all: bool = False,
-               pipeline: bool = False, in_dtypes=None):
+               pipeline: bool = False, in_dtypes=None, small=(),
+               out_rows=None):
     """Run ``body(win_refs, aux, scalars, ox, cos, bx) -> [(bx, S, 128)] *
     n_out`` over clamped x-row halo windows covering output rows [1, Nx-1)
     (or [0, Nx) with ``cover_all``).
@@ -131,12 +132,28 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
 
     With ``pipeline`` the window/output buffers are double-buffered: grid step
     ix prefetches step ix+1's windows while computing on ix's, so HBM DMAs
-    overlap compute (2x VMEM; use for DMA-bound kernels)."""
+    overlap compute (2x VMEM; use for DMA-bound kernels).
+
+    ``small`` declares extra REDUCED outputs: for each entry ("sum"|"max")
+    the body must return one additional (8, 128) per-block partial after the
+    big outputs; the TPU grid is sequential, so the wrapper accumulates the
+    partials in persistent VMEM scratch across blocks and writes each result
+    once at the last block — a full-field reduction (norms, CFL max) for free
+    inside a window kernel, no extra HBM pass.  Bodies must mask re-covered
+    rows of the clamped last block themselves (`_fresh_mask`).
+
+    ``out_rows`` (list of None | static (lo, hi) per big output): when given,
+    output k's HBM write-back DMA is SKIPPED for blocks not intersecting
+    global rows [lo, hi) — rows outside the range keep whatever HBM held
+    (uninitialized for a fresh buffer!); callers must guarantee no consumer
+    reads them (e.g. the band-sparse BDIM only reads the body band of f)."""
     n_cov = Nx if cover_all else Nx - 2
     lo_row = 0 if cover_all else 1
     bx = min(bx, n_cov)
     nbx = max(1, -(-n_cov // bx))
     n_win = len(halos)
+    n_small = len(small)
+    out_rows = out_rows or [None] * n_out
     wk = [min(bx + 2 * h, Nx) for h in halos]
     n_slot = 2 if pipeline else 1
 
@@ -147,13 +164,40 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
         scal = refs[:n_scalar]
         ins = refs[n_scalar:n_scalar + n_win]
         aux = refs[n_scalar + n_win:n_scalar + n_win + n_aux]
-        outs = refs[n_scalar + n_win + n_aux:n_scalar + n_win + n_aux + n_out]
-        k0 = n_scalar + n_win + n_aux + n_out
+        base = n_scalar + n_win + n_aux
+        outs = refs[base:base + n_out]
+        souts = refs[base + n_out:base + n_out + n_small]
+        k0 = base + n_out + n_small
         win = refs[k0:k0 + n_slot * n_win]
         obuf = refs[k0 + n_slot * n_win:k0 + n_slot * (n_win + n_out)]
+        sacc = refs[k0 + n_slot * (n_win + n_out):
+                    k0 + n_slot * (n_win + n_out) + n_small]
         sem_in = refs[-2]
         sem_out = refs[-1]
         ix = pl.program_id(0)
+
+        def small_step(results):
+            if not n_small:
+                return
+            parts = results[n_out:]
+
+            @pl.when(ix == 0)
+            def _():
+                for k in range(n_small):
+                    sacc[k][:] = parts[k]
+
+            @pl.when(ix > 0)
+            def _():
+                for k in range(n_small):
+                    if small[k] == "sum":
+                        sacc[k][:] = sacc[k][:] + parts[k]
+                    else:
+                        sacc[k][:] = jnp.maximum(sacc[k][:], parts[k])
+
+            @pl.when(ix == nbx - 1)
+            def _():
+                for k in range(n_small):
+                    souts[k][:] = sacc[k][:]
 
         def in_copy(step, buf_slot, sem_slot, k):
             # buf_slot must be a Python int (list index); sem_slot may be
@@ -169,11 +213,29 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
                                          outs[k].at[pl.ds(ox_of(step), bx)],
                                          sem_out.at[sem_slot, k])
 
+        def out_act(step, buf_slot, sem_slot, k, act):
+            """start/wait output k's DMA for ``step``, skipped when the block
+            misses the output's static live-row range (`out_rows`)."""
+            orng = out_rows[k]
+            if orng is None:
+                getattr(out_copy(step, buf_slot, sem_slot, k), act)()
+                return
+
+            @pl.when((ox_of(step) + bx > orng[0]) & (ox_of(step) < orng[1]))
+            def _():
+                getattr(out_copy(step, buf_slot, sem_slot, k), act)()
+
         ox = ox_of(ix)
         cos = []
         for k in range(n_win):
             ws = jnp.clip(ox - halos[k], 0, Nx - wk[k])
             cos.append(ox - ws)
+        # cos[-1] (beyond the per-window offsets): the fresh-row threshold —
+        # global rows < it were already covered by an earlier block (only the
+        # clamped last block re-covers rows); small-output "sum" partials
+        # must mask them (`_fresh_mask`).  program_id is only legal here,
+        # not inside run_scoped bodies.
+        cos.append(lo_row + ix * bx)
         scalars = [s[0, 0] for s in scal]
 
         if not pipeline:
@@ -183,14 +245,12 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
             for c in copies:
                 c.wait()
             results = body(win, [a[:] for a in aux], scalars, ox, cos, bx)
-            ocs = []
             for k in range(n_out):
                 obuf[k][:] = results[k]
-                c = out_copy(ix, 0, 0, k)
-                c.start()
-                ocs.append(c)
-            for c in ocs:
-                c.wait()
+                out_act(ix, 0, 0, k, "start")
+            small_step(results)
+            for k in range(n_out):
+                out_act(ix, 0, 0, k, "wait")
             return
 
         slot = ix % 2
@@ -221,12 +281,13 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
             @pl.when(ix >= 2)
             def _():
                 for k in range(n_out):
-                    out_copy(ix - 2, s, s, k).wait()
+                    out_act(ix - 2, s, s, k, "wait")
             ws_list = [win[n_slot * k + s] for k in range(n_win)]
             results = body(ws_list, [a[:] for a in aux], scalars, ox, cos, bx)
             for k in range(n_out):
                 obuf[n_slot * k + s][:] = results[k]
-                out_copy(ix, s, s, k).start()
+                out_act(ix, s, s, k, "start")
+            small_step(results)
 
         @pl.when(slot == 0)
         def _():
@@ -239,19 +300,22 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
         @pl.when(ix == nbx - 1)
         def _():
             for k in range(n_out):
-                out_copy(ix, 0, slot, k).wait()
+                out_act(ix, 0, slot, k, "wait")
             @pl.when(nbx >= 2)
             def _():
                 for k in range(n_out):
-                    out_copy(ix - 1, 0, nxt, k).wait()
+                    out_act(ix - 1, 0, nxt, k, "wait")
 
     in_dtypes = in_dtypes or [jnp.float32] * n_win
-    out_shapes = tuple(jax.ShapeDtypeStruct((Nx, S, 128), jnp.float32)
-                       for _ in range(n_out))
+    out_shapes = (tuple(jax.ShapeDtypeStruct((Nx, S, 128), jnp.float32)
+                        for _ in range(n_out))
+                  + tuple(jax.ShapeDtypeStruct((8, 128), jnp.float32)
+                          for _ in range(n_small)))
     win_scratch = [pltpu.VMEM((wk[k], S, 128), in_dtypes[k])
                    for k in range(n_win) for _ in range(n_slot)]
     out_scratch = [pltpu.VMEM((bx, S, 128), jnp.float32)
                    for _ in range(n_out) for _ in range(n_slot)]
+    sml_scratch = [pltpu.VMEM((8, 128), jnp.float32) for _ in range(n_small)]
 
     def call(scalars, arrays, aux_planes):
         outs = pl.pallas_call(
@@ -260,10 +324,11 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
             in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar
                       + [pl.BlockSpec(memory_space=pl.ANY)] * n_win
                       + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_aux),
-            out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
-                            for _ in range(n_out)),
+            out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * n_out
+                            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                            * n_small),
             out_shape=out_shapes,
-            scratch_shapes=(win_scratch + out_scratch
+            scratch_shapes=(win_scratch + out_scratch + sml_scratch
                             + [pltpu.SemaphoreType.DMA((n_slot, n_win)),
                                pltpu.SemaphoreType.DMA((n_slot, n_out))]),
             compiler_params=pltpu.CompilerParams(
@@ -273,6 +338,27 @@ def _halo_call(body: Callable, Nx: int, S: int, *, n_scalar: int,
         return list(outs) if isinstance(outs, (tuple, list)) else [outs]
 
     return call
+
+
+def _fresh_mask(ox, thr, shape, dtype=jnp.float32):
+    """1.0 on rows this block covers for the FIRST time, 0.0 on rows a
+    clamped last block re-covers (its ``ox`` shifts below the threshold when
+    the coverage count is not a multiple of bx) — small-output "sum"
+    partials must be masked with this so overlap rows aren't double-reduced.
+    ``thr`` is ``cos[-1]`` (appended by `_halo_call`'s kernel, where
+    program_id is legal)."""
+    gxc = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ox
+    return jnp.where(gxc >= thr, 1.0, 0.0).astype(dtype)
+
+
+def _fold8(a: jax.Array, kind: str) -> jax.Array:
+    """Reduce a (bx, S, 128) block partial to the (8, 128) small-output form:
+    rows first, then S in groups of 8 sublanes (S is always a multiple of 8 —
+    `ops.flat.geom_of` pads to the sublane tile)."""
+    a = a.sum(axis=0) if kind == "sum" else a.max(axis=0)
+    S = a.shape[0]
+    a = a.reshape(S // 8, 8, 128)
+    return a.sum(axis=0) if kind == "sum" else a.max(axis=0)
 
 
 def _planes(g: FlatGeom):
@@ -288,7 +374,7 @@ def _fix_ghost_rows(out: jax.Array, val0, val1) -> jax.Array:
 
 # ---------------------------------------------------------------- conv_diff
 def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
-                cheap=None):
+                cheap=None, f_rows=None):
     """Fused convective-diffusive RHS (`conv_diff!`, `src/Flow.jl:38-62`)
     for all 3 components, non-periodic, with the boundary-slab flux fixes
     applied in-kernel:
@@ -312,6 +398,11 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
     "cheap" branch fused with the convection pass, saving the f round-trip
     and a full-field XLA pass per half-step.  Returns ``(u_new, f)``; the
     body-band x-slab still needs the full BDIM run on ``f``.
+
+    ``f_rows`` (static (lo, hi), fused mode only): f is consumed ONLY on the
+    body band's x-slab, so its write-back DMA is skipped for blocks outside
+    [lo, hi) (`_halo_call(out_rows=...)`) — f rows outside the range are
+    UNDEFINED (uninitialized HBM on hardware).
     """
     Nx, S = g.Nx, g.S
     h = 2
@@ -429,7 +520,9 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
     cbx = int(os.environ.get("WLTPU_CONV_BX", "8"))
     call = _halo_call(body, Nx, S, n_scalar=4 if fused else 1, halos=halos,
                       n_aux=3, n_out=6 if fused else 3, bx=cbx, pipeline=True,
-                      vmem_mb=128 if fused else 100)
+                      vmem_mb=128 if fused else 100,
+                      out_rows=([None] * 3 + [f_rows] * 3)
+                      if (fused and f_rows is not None) else None)
     nu1 = jnp.asarray(nu, jnp.float32).reshape(1, 1)
     zrow = jnp.zeros((1, S, 128), jnp.float32)
     if not fused:
@@ -441,7 +534,12 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
     outs = call(scal, [u[0], u[1], u[2], u0[0], u0[1], u0[2]], _planes(g))
     u_new = jnp.stack([_fix_ghost_rows(o, u[i][0:1], u[i][-1:])
                        for i, o in enumerate(outs[:3])])
-    f = jnp.stack([_fix_ghost_rows(o, zrow, zrow) for o in outs[3:]])
+    if f_rows is not None:
+        # undefined rows outside [lo, hi): skip the ghost-row fix too — the
+        # band consumer never reads rows 0 / Nx−1
+        f = jnp.stack(outs[3:])
+    else:
+        f = jnp.stack([_fix_ghost_rows(o, zrow, zrow) for o in outs[3:]])
     return u_new, f
 
 
@@ -815,7 +913,7 @@ def jacobi_incr(x, r, L, D, iD, omega, g: FlatGeom, mp: bool = False):
 
 def incr_gs(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
             D: jax.Array, iD: jax.Array, colors, omega, g: FlatGeom,
-            mp: bool = False):
+            mp: bool = False, want_norms: bool = False):
     """Fused coarse-correction increment + fine red-black smooth — the tail
     of every MG iteration (`increment!` then `GaussSeidelRB!(fine)`,
     `MultiLevelPoisson.jl:100,115`) in ONE window pass over x/r:
@@ -827,7 +925,13 @@ def incr_gs(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
     exactly the sequential `increment_k` → `gs_incr` pair, minus one full
     x/r HBM round trip and one kernel dispatch per solver iteration.
     ``mp`` as in `gs_incr` (cascade + coefficients bf16; r₁/x/r' f32,
-    comparisons f32 — bf16 compares crash this Mosaic toolchain)."""
+    comparisons f32 — bf16 compares crash this Mosaic toolchain).
+
+    ``want_norms``: additionally reduce (L₁, L∞) of r' in-kernel (small-
+    output accumulation) and return ``(x', r', (r1, rinf))`` — the solver's
+    per-iteration stop-criterion norms without `norms_flat`'s extra full-r
+    HBM pass.  f32 sums accumulate per-lane then fold, so values match
+    `norms_flat` to reduction-order rounding."""
     Nx, S = g.Nx, g.S
     it = len(colors)
     h = it + 1           # r/iD/D halo (cascade depth); eps/L carry h+1
@@ -916,6 +1020,9 @@ def incr_gs(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
             x_new = xw[:] + om * (e_al_c.astype(jnp.float32)
                                   + e_c.astype(jnp.float32)) * mc
             r_new = r1_ref[pl.ds(co, bx)] - om * aeps.astype(jnp.float32) * mc
+            if want_norms:
+                ra = jnp.abs(r_new) * _fresh_mask(ox, cos[-1], r_new.shape)
+                return [x_new, r_new, _fold8(ra, "sum"), _fold8(ra, "max")]
             return [x_new, r_new]
 
         scr = pltpu.VMEM((W, S, 128), cdt)
@@ -932,14 +1039,18 @@ def incr_gs(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
                       halos=[0, h, h + 1, h, h + 1, h + 1, h + 1, h + 1],
                       n_aux=3, n_out=2, bx=bx, vmem_mb=128, pipeline=pipe,
                       in_dtypes=[jnp.float32, jnp.float32, jnp.float32,
-                                 cdt, cdt, cdt, cdt, cdt])
+                                 cdt, cdt, cdt, cdt, cdt],
+                      small=("sum", "max") if want_norms else ())
     om1 = jnp.asarray(omega, jnp.float32).reshape(1, 1)
     if mp:
         iD, D, L = iD.astype(cdt), D.astype(cdt), L.astype(cdt)
-    xo, ro = call([om1], [x, r, eps, iD, D, L[0], L[1], L[2]], _planes(g))
+    outs = call([om1], [x, r, eps, iD, D, L[0], L[1], L[2]], _planes(g))
+    xo, ro = outs[0], outs[1]
     zrow = jnp.zeros((1, S, 128), jnp.float32)
     xo = _fix_ghost_rows(xo, x[0:1], x[-1:])
     ro = _fix_ghost_rows(ro, zrow, zrow)
+    if want_norms:
+        return xo, ro, (jnp.sum(outs[2]), jnp.max(outs[3]))
     return xo, ro
 
 
@@ -1094,7 +1205,7 @@ def bc_div_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False):
 
 def bc_div_resid_k(u: jax.Array, ubc, x: jax.Array, L: jax.Array,
                    D: jax.Array, iD: jax.Array, g: FlatGeom,
-                   save_exit: bool = False):
+                   save_exit: bool = False, want_z: bool = True):
     """`bc_div_k` extended with the solve-entry residual (`residual!`,
     `src/Poisson.jl:92-98`): the projection's first solver action is
     r = z − A·x₀ on the divergence it just computed, so one window pass emits
@@ -1142,7 +1253,9 @@ def bc_div_resid_k(u: jax.Array, ubc, x: jax.Array, L: jax.Array,
             ax = ax + _pshift(x_c, -1) * l2c \
                 + _pshift(x_c, 1) * _pshift(l2c, 1)
             r = jnp.where(idw[:] == 0.0, 0.0, s - ax) * m
-            return [c0, u1c, u2c, z, r]
+            if want_z:
+                return [c0, u1c, u2c, z, r]
+            return [c0, u1c, u2c, r]
 
         scr = [pltpu.VMEM(w.shape, jnp.float32) for w in win[:3]]
         return pl.run_scoped(inner, *scr)
@@ -1152,7 +1265,8 @@ def bc_div_resid_k(u: jax.Array, ubc, x: jax.Array, L: jax.Array,
     # benchmarks/roofline.py; the knob was previously untested at 256³)
     call = _halo_call(body, Nx, S, n_scalar=3,
                       halos=[1, 0, 0, 1, 1, 0, 0, 0, 0], n_aux=3,
-                      n_out=5, bx=8, pipeline=True, vmem_mb=128)
+                      n_out=5 if want_z else 4, bx=8, pipeline=True,
+                      vmem_mb=128)
     scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
     o = call(scal, [u[0], u[1], u[2], x, L[0], L[1], L[2], D, iD], _planes(g))
     lo, hi = _bc_ghost_rows((u[:, 0], u[:, 1], u[:, -1], u[:, -2]), ubc, g,
@@ -1160,8 +1274,10 @@ def bc_div_resid_k(u: jax.Array, ubc, x: jax.Array, L: jax.Array,
     u_bc = jnp.stack([_fix_ghost_rows(o[i], lo[i][None], hi[i][None])
                       for i in range(3)])
     zrow = jnp.zeros((1, S, 128), jnp.float32)
-    return (u_bc, _fix_ghost_rows(o[3], zrow, zrow),
-            _fix_ghost_rows(o[4], zrow, zrow))
+    if want_z:
+        return (u_bc, _fix_ghost_rows(o[3], zrow, zrow),
+                _fix_ghost_rows(o[4], zrow, zrow))
+    return u_bc, None, _fix_ghost_rows(o[3], zrow, zrow)
 
 
 def _proj_row(u: jax.Array, x: jax.Array, L: jax.Array, g: FlatGeom, k: int):
@@ -1186,8 +1302,10 @@ def projbc_k(u: jax.Array, x: jax.Array, L: jax.Array, ubc, g: FlatGeom,
         uᵢ −= Lᵢ ∂ᵢx  (interior) → BC! → s = Σᵢ max(0, uᵢ[+eᵢ]) + max(0, −uᵢ)
 
     instead of three XLA passes that each materialize shifted copies.
-    Returns ``u_new`` or ``(u_new, s)``; ``dt = min(dt_max, 1/(max(s)+5ν))``
-    is the caller's reduction.  Interior rows in-kernel; x-ghost rows via
+    Returns ``u_new`` or ``(u_new, s)`` with ``s`` an (8, 128) in-kernel MAX
+    partial of the CFL summand (small-output reduction — the full summand
+    field is never written to HBM); ``dt = min(dt_max, 1/(max(s)+5ν))`` is
+    the caller's reduction.  Interior rows in-kernel; x-ghost rows via
     `_bc_ghost_rows` with `_proj_row` neighbors."""
     Nx, S = g.Nx, g.S
 
@@ -1226,7 +1344,10 @@ def projbc_k(u: jax.Array, x: jax.Array, L: jax.Array, ubc, g: FlatGeom,
                     + jnp.maximum(0.0, -c1)
                 s = s + jnp.maximum(0.0, _pshift(c2, 1)) \
                     + jnp.maximum(0.0, -c2)
-                outs.append(s * m_c)
+                # small-output max: the caller only ever takes max(s) (the
+                # CFL reduction) — no full summand field write; max is
+                # idempotent over a clamped last block's re-covered rows
+                outs.append(_fold8(s * m_c, "max"))
             return outs
 
         scr_e = pltpu.VMEM((bxe, S, 128), jnp.float32)
@@ -1234,9 +1355,10 @@ def projbc_k(u: jax.Array, x: jax.Array, L: jax.Array, ubc, g: FlatGeom,
         return pl.run_scoped(inner, scr_e, scr_c, scr_c)
 
     call = _halo_call(body, Nx, S, n_scalar=3, halos=[1, 0, 0, 2, 1, 0, 0],
-                      n_aux=3, n_out=4 if want_cfl else 3,
+                      n_aux=3, n_out=3,
                       bx=int(os.environ.get("WLTPU_PROJ_BX", "8")),
-                      pipeline=True, vmem_mb=128)
+                      pipeline=True, vmem_mb=128,
+                      small=("max",) if want_cfl else ())
     scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
     o = call(scal, [u[0], u[1], u[2], x, L[0], L[1], L[2]], _planes(g))
     lo, hi = _bc_ghost_rows((u[:, 0], _proj_row(u, x, L, g, 1), u[:, -1],
@@ -1246,8 +1368,7 @@ def projbc_k(u: jax.Array, x: jax.Array, L: jax.Array, ubc, g: FlatGeom,
                        for i in range(3)])
     if not want_cfl:
         return u_new
-    zrow = jnp.zeros((1, S, 128), jnp.float32)
-    return u_new, _fix_ghost_rows(o[3], zrow, zrow)
+    return u_new, o[3]
 
 
 def div_k(u: jax.Array, g: FlatGeom) -> jax.Array:
