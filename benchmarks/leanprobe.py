@@ -130,6 +130,41 @@ def main():
             row(f"pallas blockspec axpb bx={bxb}",
                 scan_slope(bcall, xb), 2 * F * (nb * bxb) / g.Nx)
 
+    if want("big"):
+        # >VMEM working set (558 MB): forces the carry into HBM — the
+        # 1-field probes above fit in VMEM (a 70 MB scan carry stays
+        # resident: measured 2.2 TB/s, i.e. VMEM bandwidth, not HBM)
+        import jax.experimental.pallas as pl
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        R = 8 * g.Nx
+        xb8 = jnp.concatenate([x * (1 + 1e-6 * k) for k in range(8)], axis=0)
+        bxb = 8
+        nb = R // bxb
+
+        def bker(a_ref, o_ref):
+            o_ref[:] = a_ref[:] * 1.0000001
+
+        def bcall(a):
+            return pl.pallas_call(
+                bker,
+                grid=(nb,),
+                in_specs=[pl.BlockSpec((bxb, g.S, 128), lambda i: (i, 0, 0))],
+                out_specs=pl.BlockSpec((bxb, g.S, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((nb * bxb, g.S, 128),
+                                               jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(a)
+
+        xb8 = xb8[:nb * bxb]
+        row("pallas blockspec 558MB copy",
+            scan_slope(bcall, xb8), 2 * F * (nb * bxb) / g.Nx)
+        row("xla axpb 558MB",
+            scan_slope(lambda a: a * 1.0000001 + 1e-12, xb8),
+            2 * F * (nb * bxb) / g.Nx)
+
     if want("conv"):
         u = jnp.stack([x, x * 0.5, x * 0.25])
         nu = jnp.asarray(1e-3, jnp.float32)
