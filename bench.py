@@ -10,25 +10,32 @@ kernels) on TPU; set WLTPU_ENGINE=3d for the generic path.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` divides by the 1 Gcell/s target, which BASELINE defines AT
 256^3 — when a fallback rung reports, ``baseline_note`` flags the size
-mismatch explicitly (round-2 advisory).
+mismatch explicitly.
 
-Robustness contract (the driver runs this under an unknown `timeout`):
-- the TARGET rung (256^3) runs FIRST, in a subprocess with a time box of
-  (budget - fallback reserve); if its cold compile would blow the budget the
-  subprocess is killed and the smaller rungs still land a number
-  (round 2 starved the 256^3 rung by running the ladder upward);
+Robustness contract (the driver runs this under an unknown `timeout`; the
+round-4 run landed 0.0 because every rung compiled cold and the ladder ran
+target-first):
+- ONE process for everything: the tunneled backend charges ~155 s of session
+  init to EVERY process, so subprocess-per-rung starves small rungs;
+- the ladder climbs UPWARD (64^3 -> 128^3 -> 256^3 -> moving): the cheapest
+  rung banks a nonzero number even with a fully cold compile cache, each
+  completed rung replaces the banked result, and a rung that blows the
+  budget costs nothing but the remaining time;
 - a watchdog thread prints the best result measured so far and exits at
-  WLTPU_BENCH_BUDGET_S seconds (default 510) as the last line of defense;
-- the persistent compile cache (`utils/cache.py`) makes the 256^3 compile
-  ~1 min when pre-warmed (`benchmarks/warm_cache.py` after kernel changes).
+  WLTPU_BENCH_BUDGET_S seconds (default 510) — in-process jax compiles are
+  uninterruptible, so the watchdog exits the process rather than the rung;
+- the persistent compile cache (`utils/cache.py`) makes warm reruns fast,
+  and `strip_mosaic_locations` keeps it warm across pure code motion;
+  `benchmarks/warm_cache.py 256 128 64` after the last traced-code commit of
+  a session guarantees the driver's run is warm.
 
 Env overrides: WLTPU_BENCH_N (single cube size — disables the ladder),
-WLTPU_BENCH_STEPS, WLTPU_BENCH_BUDGET_S, WLTPU_BENCH_LADDER (sizes, run in
-the given order), WLTPU_ENGINE.
+WLTPU_BENCH_MOVING_N (single moving rung), WLTPU_BENCH_STEPS,
+WLTPU_BENCH_BUDGET_S, WLTPU_BENCH_LADDER (sizes, run in the given order),
+WLTPU_BENCH_MOVING (moving-rung size, 0 disables), WLTPU_ENGINE.
 """
 import json
 import os
-import subprocess
 import sys
 import threading
 import time
@@ -36,11 +43,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _TARGET_N = 256          # the rung BASELINE defines the target at
-_FALLBACK_RESERVE_S = 170  # kept for smaller rungs after a 256^3 overrun
 
 _BEST = None           # best (= largest-N) completed measurement
 _LOCK = threading.Lock()
 _DONE = threading.Event()
+
+# Peak HBM bandwidth by jax device_kind, for the achieved-bandwidth estimate
+# (GB/s; v5e=819, v5p=2765, v4=1228, v6e=1640).  The ns/DoF target assumes a
+# v5p-class chip; recording the kind + fraction makes the normalization
+# checkable from the artifact instead of asserted in prose.
+_PEAK_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9, "TPU v5": 2765e9,
+            "TPU v5p": 2765e9, "TPU v4": 1228e9, "TPU v6 lite": 1640e9,
+            "TPU v6e": 1640e9}
+# Ideal HBM bytes per cell per step for the settled bench config (iters
+# [1,1]): sum of the per-kernel traffic models of `benchmarks/roofline.py`
+# at 256^3 (~8.8 GB/step / 256^3 cells).  Observability estimate only.
+_BYTES_PER_CELL_STEP = 524.0
+
+
+def _device_meta():
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return {}
+    meta = {"device_kind": kind}
+    if kind in _PEAK_BW:
+        meta["peak_hbm_gbps"] = _PEAK_BW[kind] / 1e9
+    return meta
 
 
 def _result(N, meas, steps):
@@ -56,6 +86,12 @@ def _result(N, meas, steps):
         "reps": meas["reps"],          # median of `reps` timed scans
         "spread": meas["spread"],      # (max-min)/median across the reps
     }
+    res.update(_device_meta())
+    if "peak_hbm_gbps" in res:
+        # achieved fraction of HBM streaming peak under the ideal-traffic
+        # model — the chip-normalization context for cross-device reading
+        res["hbm_frac_est"] = round(
+            rate * _BYTES_PER_CELL_STEP / (res["peak_hbm_gbps"] * 1e9), 4)
     if N != _TARGET_N:
         res["baseline_note"] = (f"target is defined at {_TARGET_N}^3; this "
                                 f"is a {N}^3 fallback rung")
@@ -306,32 +342,14 @@ def _measure_moving(N: int, steps: int):
     return N ** 3 * steps / elapsed
 
 
-def _run_rung_subprocess(N: int, timeout_s: float):
-    """Run one ladder rung in a subprocess (so an overlong compile can be
-    KILLED — in-process jax compiles are uninterruptible) and parse its
-    result line.  Returns the result dict or None."""
-    env = dict(os.environ, WLTPU_BENCH_N=str(N))
-    try:
-        cp = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                            capture_output=True, text=True, env=env,
-                            timeout=max(30.0, timeout_s))
-    except subprocess.TimeoutExpired:
-        print(f"# {N}^3 rung timed out after {timeout_s:.0f}s (killed); "
-              "falling back", file=sys.stderr, flush=True)
-        return None
-    sys.stderr.write(cp.stderr)
-    for line in reversed(cp.stdout.splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                res = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if res.get("value", 0.0) > 0.0:
-                return res
-    print(f"# {N}^3 rung produced no result (rc={cp.returncode}): "
-          f"{cp.stdout[-200:]!r}", file=sys.stderr, flush=True)
-    return None
+def _moving_result(N, rate, steps):
+    res = {"metric": f"3D moving sphere {N}^3 (remeasure/step) "
+                     "cell-updates/s/chip",
+           "value": rate, "unit": "cell-updates/s",
+           "ms_per_step": N ** 3 / rate * 1e3,
+           "steps_timed": steps}
+    res.update(_device_meta())
+    return res
 
 
 def main():
@@ -339,22 +357,22 @@ def main():
     steps = int(os.environ.get("WLTPU_BENCH_STEPS", "10"))
     engine = os.environ.get("WLTPU_ENGINE", "flat")
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+    t_start = time.perf_counter()
+
+    def left():
+        return budget - (time.perf_counter() - t_start)
 
     global _BEST
     if "WLTPU_BENCH_MOVING_N" in os.environ:
-        # moving-rung subprocess entry: oscillating body, remeasure-in-scan
+        # single moving-rung mode (experiments)
         N = int(os.environ["WLTPU_BENCH_MOVING_N"])
         rate = _measure_moving(N, steps)
         with _LOCK:
-            _BEST = {"metric": f"3D moving sphere {N}^3 (remeasure/step) "
-                               "cell-updates/s/chip",
-                     "value": rate, "unit": "cell-updates/s",
-                     "ms_per_step": N ** 3 / rate * 1e3,
-                     "steps_timed": steps}
+            _BEST = _moving_result(N, rate, steps)
         _DONE.set()
         _emit_and_exit(0)
     if "WLTPU_BENCH_N" in os.environ:
-        # single-rung mode (also the subprocess entry): measure in-process
+        # single-rung mode (experiments)
         N = int(os.environ["WLTPU_BENCH_N"])
         meas = _measure(N, steps, engine)
         with _LOCK:
@@ -362,57 +380,43 @@ def main():
         _DONE.set()
         _emit_and_exit(0)
 
+    # ---- the ladder: climb upward, bank every completed rung ----
     sizes = [int(s) for s in
-             os.environ.get("WLTPU_BENCH_LADDER", "256,128,64").split(",")]
-    t0 = time.perf_counter()
-    for i, N in enumerate(sizes):
-        left = budget - (time.perf_counter() - t0)
-        # the target rung gets everything except a reserve for one fallback;
-        # later rungs split what remains (the last one keeps a margin so the
-        # in-process watchdog doesn't beat the subprocess to the exit)
-        if i + 1 < len(sizes):
-            box = left - _FALLBACK_RESERVE_S if N == _TARGET_N else left / 2
-        else:
-            box = left - 30
-        if box < 60:
-            print(f"# skipping {N}^3: only {left:.0f}s left", file=sys.stderr,
-                  flush=True)
-            continue
-        res = _run_rung_subprocess(N, box)
-        if res is not None:
-            with _LOCK:
-                if _BEST is None or res["value"] > 0:
-                    _BEST = res
-            print(f"# {N}^3: {res['value'] / 1e6:.1f} Mcell/s "
-                  f"({res['ms_per_step']:.2f} ms/step)", file=sys.stderr,
-                  flush=True)
-            break   # rungs are ordered target-first: first success wins
-    # moving-body rung (VERDICT-r3 item 3): only once a static number is
-    # banked and enough budget remains — its result rides as a sub-record,
-    # never replacing the headline metric.  Default 128^3: the 192^3 rung
-    # takes ~7 min even cache-warm (several band-box scan compiles) and
-    # blows the driver's leftover budget; the 192^3 figure is recorded in
-    # docs/performance.md from session runs
-    left = budget - (time.perf_counter() - t0)
-    mn = int(os.environ.get("WLTPU_BENCH_MOVING", "128"))
-    if _BEST is not None and left > 150 and mn > 0:
-        env = dict(os.environ, WLTPU_BENCH_MOVING_N=str(mn))
-        env.pop("WLTPU_BENCH_N", None)
-        try:
-            cp = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                capture_output=True, text=True, env=env,
-                                timeout=left - 40)
-            sys.stderr.write(cp.stderr)
-            for line in reversed(cp.stdout.splitlines()):
-                if line.strip().startswith("{"):
-                    mv = json.loads(line)
-                    if mv.get("value", 0.0) > 0.0:
-                        with _LOCK:
-                            _BEST["moving"] = mv
-                    break
-        except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
-            print(f"# moving rung skipped: {type(e).__name__}",
+             os.environ.get("WLTPU_BENCH_LADDER", "64,128,256").split(",")]
+    # minimum seconds of budget to even START a rung: a warm compile +
+    # measure fits comfortably; a cold 256^3 cannot land in any realistic
+    # leftover, but attempting it only costs time the watchdog reclaims.
+    min_start = {64: 40, 128: 50, 256: 75}
+    for N in sizes:
+        if left() < min_start.get(N, 60):
+            print(f"# skipping {N}^3: only {left():.0f}s left",
                   file=sys.stderr, flush=True)
+            continue
+        t_r = time.perf_counter()
+        try:
+            meas = _measure(N, steps, engine)
+        except Exception as e:
+            print(f"# {N}^3 rung failed: {type(e).__name__}: {str(e)[:160]}",
+                  file=sys.stderr, flush=True)
+            continue
+        with _LOCK:
+            _BEST = _result(N, meas, steps)
+        print(f"# {N}^3: {meas['rate'] / 1e6:.1f} Mcell/s "
+              f"(rung took {time.perf_counter() - t_r:.0f}s)",
+              file=sys.stderr, flush=True)
+    # ---- moving-body rung: rides as a sub-record, never the headline ----
+    mn = int(os.environ.get("WLTPU_BENCH_MOVING", "128"))
+    if _BEST is not None and mn > 0 and left() > 120:
+        try:
+            rate = _measure_moving(mn, steps)
+            with _LOCK:
+                _BEST["moving"] = _moving_result(mn, rate, steps)
+        except Exception as e:
+            print(f"# moving rung failed: {type(e).__name__}: "
+                  f"{str(e)[:160]}", file=sys.stderr, flush=True)
+    elif mn > 0:
+        print(f"# skipping moving rung: only {left():.0f}s left",
+              file=sys.stderr, flush=True)
     _DONE.set()
     _emit_and_exit(0)
 

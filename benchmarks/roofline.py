@@ -128,10 +128,6 @@ def main():
         27 * F * bfrac, f"27 slab passes ({100 * bfrac:.0f}% rows)")
     row("bc_div_k", lambda u_: plf.bc_div_k(u_, cfg.ubc, g), (u,), 7 * F,
         "in u out u,div")
-    row("bc_div_resid_k",
-        lambda u_, x_, L, D, iD: plf.bc_div_resid_k(u_, cfg.ubc, x_, L, D,
-                                                    iD, g),
-        (u, x, fine.L, fine.D, fine.iD), 14 * F, "+x,L,D,iD in; +r out")
     row("projbc_k(cfl)",
         lambda u_, x_, L: plf.projbc_k(u_, x_, L, cfg.ubc, g, want_cfl=True),
         (u, x, fine.L), 12 * F, "in u,x,L out u,s")

@@ -96,10 +96,6 @@ def main():
         ("bdim_band", lambda u, u0, f, V, m0, m1:
          plf.bdim_band(u, u0, f, V, m0, m1, dt, g, cfg.band_x),
          (u, u, u, state.V, state.mu0, state.mu1)),
-        ("pred_corr", lambda u, V, m0, m1:
-         plf.pred_corr_k(u, u, u, V, m0, m1, dt, state.nu, cfg.scheme,
-                         0.0, 1.0, g),
-         (u, state.V, state.mu0, state.mu1)),
         ("residual", lambda f, x, z:
          fo.residual_flat(f.L, f.D, f.iD, x, z, g), (fmg.fine, p, z)),
         ("v_cycle", lambda fmg, x, r:
@@ -113,8 +109,8 @@ def main():
                                  omega=jnp.float32(0.8)), (fmg.fine, p, z)),
         ("solve", lambda fmg, x, z:
          mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
-                              itmx=cfg.itmx, smooth_it=cfg.smooth_it,
-                              unroll=0), (fmg, p * dt, z)),
+                              itmx=cfg.itmx, smooth_it=cfg.smooth_it),
+         (fmg, p * dt, z)),
         # V-cycle sub-phases (fine level) — attribute the solve budget
         ("jacobi_fine", lambda f, x, r:
          fo.jacobi_flat(f.L, f.D, f.iD, x, r, g, it=1, omega=jnp.float32(1.0)),

@@ -2,7 +2,7 @@
 
 Each variant times `mom_step_flat_impl` (warm state, settled dt) at N³ and
 reports ms/step + Mcell/s + the settled per-solve iteration counts, so
-tuning decisions (band-sparse BDIM, fine_smooth_it, fused_pc) are made from
+tuning decisions (band-sparse BDIM, fine_smooth_it, smoother depth) are made
 step-level numbers, not kernel microbenches.
 
 Usage: python benchmarks/step_variants.py [N] [reps] [variant ...]
@@ -11,7 +11,6 @@ Variants: base band nb_fs2 band_fs2 band_fused  (default: band nb_fs2 band_fs2)
   band      band-sparse BDIM (cfg.band_x from the measured sphere)
   nb_fs2    full-field BDIM, fine_smooth_it=2
   band_fs2  band + fine_smooth_it=2
-  band_fused band + fused_pc
 """
 import dataclasses
 import os
@@ -59,25 +58,18 @@ def main():
         "band": dict(),
         "nb_fs2": dict(band_x=None, fine_smooth_it=2),
         "band_fs2": dict(fine_smooth_it=2),
-        "band_fused": dict(fused_pc=True),
         "band_fs3": dict(fine_smooth_it=3),
         "band_si3": dict(smooth_it=3),
         "band_si4": dict(smooth_it=4),
         "band_si5": dict(smooth_it=5),
         "band_si3fs5": dict(smooth_it=3, fine_smooth_it=5),
         "band_si4fs6": dict(smooth_it=4, fine_smooth_it=6),
-        "band_si3fr": dict(smooth_it=3, fused_resid=True),
-        "band_si4fr": dict(smooth_it=4, fused_resid=True),
         # round-4 solver-budget levers (auto TPU base is smooth_it=2 + mp)
-        "band_fr": dict(fused_resid=True),
         "band_nopre": dict(fine_presmooth=False),
-        "band_nopre_fr": dict(fine_presmooth=False, fused_resid=True),
         "band_fs1": dict(fine_smooth_it=1),
         "band_nopre_fs1": dict(fine_presmooth=False, fine_smooth_it=1),
         "band_nopre_si3": dict(fine_presmooth=False, smooth_it=3),
         "band_nompre": dict(mp_smooth=False),
-        "band_lazy": dict(lazy_solve=True),
-        "band_nopre_lazy": dict(fine_presmooth=False, lazy_solve=True),
     }
     # env-flag variants (read at trace time): name suffixes after '+'
     # e.g. "band+share" sets WLTPU_CONV_SHARE=1, "band+bx8" sets WLTPU_GS_BX=8

@@ -152,22 +152,6 @@ def test_bc_div_k(save_exit):
     assert np.allclose(np.asarray(got_d), np.asarray(want_d), atol=4e-6)
 
 
-def test_bc_div_resid_k():
-    # fused BC! + divergence + solve-entry residual vs the composed ops
-    g, u, x, r, L, D, iD, ks = _fields()
-    ubc = (1.0, 0.25, -0.5)
-    got_u, got_z, got_r = plf.bc_div_resid_k(u, ubc, x, L, D, iD, g)
-    plf._INTERPRET = False
-    want_u = fo.bc_vector_flat(u, ubc, g)
-    want_z = fo.div_flat(want_u, g)
-    want_r = fo.zero_ghost_flat(
-        jnp.where(iD == 0, 0.0, want_z - fo.mult_flat(L, D, x, g)), g)
-    plf._INTERPRET = True
-    assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=2e-6)
-    assert np.allclose(np.asarray(got_z), np.asarray(want_z), atol=4e-6)
-    assert np.allclose(np.asarray(got_r), np.asarray(want_r), atol=1e-4)
-
-
 @pytest.mark.parametrize("save_exit,want_cfl",
                          [(False, False), (True, False), (False, True)])
 def test_projbc_k(save_exit, want_cfl):
@@ -192,36 +176,15 @@ def test_projbc_k(save_exit, want_cfl):
             s = s + jnp.maximum(0.0, up) + jnp.maximum(0.0, -want_u[i])
         want_s = fo.zero_ghost_flat(s, g)
         plf._INTERPRET = True
-        assert np.isclose(float(jnp.max(got_s)), float(jnp.max(want_s)),
-                          atol=4e-6)
+        # fold the reference field exactly as the kernel folds its partial
+        # (interior rows max, then S//8 sublane-group max) and compare the
+        # whole (8, 128) partial elementwise — stronger than max-only
+        want_f = plf._fold8(jnp.max(want_s[1:-1], axis=0, keepdims=True),
+                            "max")
+        assert np.allclose(np.asarray(got_s), np.asarray(want_f), atol=4e-6)
     else:
         got_u = got
     assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=4e-6)
-
-
-@pytest.mark.parametrize("mode", ["predictor", "corrector"])
-def test_pred_corr_k(mode):
-    # fused conv_diff + BDIM + interior scale vs the composed reference ops
-    g, u, x, r, L, D, iD, ks = _fields()
-    u0 = u + 0.1
-    V = 0.1 * u
-    mu0 = jnp.abs(u)
-    mu1 = jnp.stack([0.05 * u, 0.1 * u, 0.15 * u], axis=0)
-    dt = jnp.float32(0.2)
-    nu = jnp.float32(0.05)
-    kb, sc = (0.0, 1.0) if mode == "predictor" else (1.0, 0.5)
-    u_adv = u0 if mode == "predictor" else u
-    got = plf.pred_corr_k(u_adv, u_adv if mode == "corrector" else u0, u0,
-                          V, mu0, mu1, dt, nu, fl.quick, kb, sc, g)
-    plf._INTERPRET = False
-    from waterlily_tpu.models.flowflat import _scale_interior_flat
-    f = ff.conv_diff_flat(u_adv, fl.quick, nu, g)
-    base = u_adv if mode == "corrector" else _scale_interior_flat(u0, 0.0, g)
-    want = ff.bdim_flat(base, u0, f, V, mu0, mu1, dt, g)
-    if sc != 1.0:
-        want = _scale_interior_flat(want, sc, g)
-    plf._INTERPRET = True
-    assert np.allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
 def test_bdim_band():
@@ -300,8 +263,7 @@ def test_mp_solve_converges():
         fo.to_flat(jax.random.normal(key, shape3, F32), g), g)
     z = z - fo.interior_mean_flat(z, g) * fo.inside_mask_flat(g, z.shape, F32)
     res = mgflat.solve_mg_flat(fmg, masks, jnp.zeros_like(z), z, g,
-                               tol=2e-3, itmx=32, smooth_it=3, unroll=0,
-                               mp=True)
+                               tol=2e-3, itmx=32, smooth_it=3, mp=True)
     r1, rinf = fo.norms_flat(res.r)
     n = (g.Nx - 2) ** 3
     assert float(rinf) < 2e-3
@@ -376,7 +338,7 @@ def test_solve_fused_tail_matches_sequential():
 
     def solve():
         return mgflat.solve_mg_flat(fmg, masks, jnp.zeros_like(z), z, g,
-                                    tol=2e-3, itmx=32, smooth_it=3, unroll=0)
+                                    tol=2e-3, itmx=32, smooth_it=3)
 
     res_f = solve()
     os.environ["WLTPU_FUSED_TAIL"] = "0"

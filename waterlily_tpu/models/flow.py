@@ -103,14 +103,6 @@ class FlowCfg:
                                     # fine sweeps can win wall-clock when the
                                     # dual-norm stop still converges in the
                                     # same iteration count
-    mg_unroll: int = 0              # cond-unrolled MG iterations before the
-                                    # while_loop tail: 0 (pure while_loop) is
-                                    # both fastest and cheapest to compile
-                                    # (measured post div_k-fix, 128^3)
-    fused_pc: bool = False          # fully-fused predictor/corrector kernel
-    fused_resid: bool = False       # fold the solve-entry residual into the
-                                    # fused BC+div kernel
-                                    # (`pallas_flat.bc_div_resid_k`)
     band_x: Optional[tuple[int, int]] = None
                                     # static x-row range [lo, hi) containing
                                     # every cell with nontrivial BDIM moments
@@ -130,15 +122,6 @@ class FlowCfg:
                                     # (`pallas_flat.gs_incr`).  Perf opt-in
                                     # (bench config); the library default
                                     # keeps every op at `dtype`.
-    lazy_solve: bool = False        # skip a projection's V-cycles entirely
-                                    # when the warm-started ENTRY residual
-                                    # already satisfies the dual-norm stop
-                                    # (the reference's do-while always runs
-                                    # one cycle, `MultiLevelPoisson.jl:113`;
-                                    # with dt-scaled warm starts late-run
-                                    # solves often enter converged).  Pure
-                                    # cost knob: the acceptance test is the
-                                    # SAME criterion that ends an iteration.
     fine_presmooth: bool = True     # run the fine-level Jacobi pre-smooth of
                                     # each V-cycle (`Vcycle!` smooths every
                                     # level on the way down,
@@ -400,9 +383,9 @@ def project(u: jax.Array, p: jax.Array, levels, masks, dt_w,
     solver = solve_fn if solve_fn is not None else (
         lambda lv, mk, x, z, tol, itmx, perdir: mg.solve_mg_implicit(
             lv, mk, x, z, tol=tol, itmx=itmx, perdir=perdir,
-            smooth_it=cfg.smooth_it, unroll=cfg.mg_unroll,
+            smooth_it=cfg.smooth_it,
             ctx=ctx, n_dist=n_dist, fine_smooth_it=cfg.fine_smooth_it,
-            fine_presmooth=cfg.fine_presmooth, lazy=cfg.lazy_solve))
+            fine_presmooth=cfg.fine_presmooth))
     res = solver(levels, masks, x, z, cfg.tol, cfg.itmx, cfg.perdir)
     x = res.x
     L = levels[0].L
@@ -528,13 +511,10 @@ class Flow:
                  g: Optional[Callable] = None, u0=None, perdir: tuple[int, ...] = (),
                  exit_bc: bool = False, scheme: Callable = quick,
                  dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
-                 smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
-                 fused_pc: Optional[bool] = None,
+                 smooth_it: Optional[int] = None,
                  fine_smooth_it: Optional[int] = None,
-                 fused_resid: Optional[bool] = None,
                  mp_smooth: Optional[bool] = None,
-                 fine_presmooth: Optional[bool] = None,
-                 lazy_solve: Optional[bool] = None):
+                 fine_presmooth: Optional[bool] = None):
         shape = tuple(n + 2 for n in N)
         self.cfg = FlowCfg(shape=shape, ubc=_norm_ubc(ubc), g=g,
                            perdir=tuple(perdir), exit_bc=bool(exit_bc),
@@ -542,16 +522,10 @@ class Flow:
                            smooth_it=_env_int("WLTPU_SMOOTH_IT", smooth_it, 4),
                            fine_smooth_it=_env_int("WLTPU_FINE_SMOOTH_IT",
                                                    fine_smooth_it, 0),
-                           mg_unroll=_env_int("WLTPU_MG_UNROLL", mg_unroll, 0),
-                           fused_pc=bool(_env_int("WLTPU_FUSED_PC", fused_pc, 0)),
-                           fused_resid=bool(_env_int("WLTPU_FUSED_RESID",
-                                                     fused_resid, 0)),
                            mp_smooth=bool(_env_int("WLTPU_MP_SMOOTH",
                                                    mp_smooth, 0)),
                            fine_presmooth=bool(_env_int(
-                               "WLTPU_FINE_PRESMOOTH", fine_presmooth, 1)),
-                           lazy_solve=bool(_env_int("WLTPU_LAZY_SOLVE",
-                                                    lazy_solve, 0)))
+                               "WLTPU_FINE_PRESMOOTH", fine_presmooth, 1)))
         if u0 is not None and not callable(u0):
             u0 = tuple(float(v) for v in u0)   # hashable jit key
         self._refresh = None            # lazy-sync hook (flat-engine backed)

@@ -185,27 +185,22 @@ def _kernel_bc_ok(cfg: FlowCfg, u, ctx) -> bool:
 
 def _project_flat(u, p, fmg, masks, dt_w, cfg: FlowCfg, g: FlatGeom, t=0.0,
                   ctx=None, ctx3=None, n_dist: int = 0, z=None,
-                  want_cfl: bool = False, x0=None, r0=None):
+                  want_cfl: bool = False):
     """`mom_project!` (`src/Flow.jl:223-232`) on flat fields.  ``z`` may be
-    supplied by the fused BC+div kernel (with ``x0``/``r0`` additionally by
-    the fused BC+div+residual kernel); with ``want_cfl`` the projection
+    supplied by the fused BC+div kernel; with ``want_cfl`` the projection
     tail also emits the CFL summand field (`projbc_k`)."""
     from ..ops import pallas_flat as plf
 
-    if z is None and r0 is None:
+    if z is None:
         z = div_flat(u, g)
-    x = p * dt_w if x0 is None else x0
-    # with r0 the RHS is never read by the solve (the loop keeps a running
-    # residual) — any same-shaped array stands in for z
-    res = mgflat.solve_mg_flat(fmg, masks, x, z if z is not None else r0,
-                               g, tol=cfg.tol,
+    x = p * dt_w
+    res = mgflat.solve_mg_flat(fmg, masks, x, z, g, tol=cfg.tol,
                                itmx=cfg.itmx, smooth_it=cfg.smooth_it,
-                               unroll=cfg.mg_unroll, perdir=cfg.perdir,
+                               perdir=cfg.perdir,
                                ctx=ctx, ctx3=ctx3, n_dist=n_dist,
-                               fine_smooth_it=cfg.fine_smooth_it, r0=r0,
+                               fine_smooth_it=cfg.fine_smooth_it,
                                mp=cfg.mp_smooth,
-                               fine_presmooth=cfg.fine_presmooth,
-                               lazy=cfg.lazy_solve)
+                               fine_presmooth=cfg.fine_presmooth)
     p = res.x / dt_w
     s_cfl = None
     if _kernel_bc_ok(cfg, u, ctx):
@@ -256,22 +251,14 @@ def _apply_udf_flat(udf, f, state, u_into, u_adv, t, g: FlatGeom, ctx=None):
 def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
                udf=None, ctx=None, ctx3=None):
     """conv_diff → udf → accelerate → BDIM → interior scale (one momentum
-    phase, `mom_predict!`/`mom_correct!`, `src/Flow.jl:190-210`).  The fully-
-    fused kernel (`pred_corr_k`) is opt-in (`FlowCfg.fused_pc`): measured
-    13.0 ms vs 13.1 for the separate pair at 256^3 — the HBM savings are
-    eaten by VMEM spills of the extended-window QUICK cascade."""
+    phase, `mom_predict!`/`mom_correct!`, `src/Flow.jl:190-210`).  (A fully-
+    fused predictor/corrector kernel was measured and removed: full-field μ
+    reads ate the fusion gain — 13.1 vs 9.8 ms for the separate pair at
+    256³, docs/performance.md negative results.)"""
     from ..ops import pallas_flat as plf
 
     plain = (udf is None and cfg.g is None and not callable(cfg.ubc)
              and not cfg.perdir and ctx is None)
-    # band-sparse BDIM beats the fused kernel when available: separate
-    # conv_diff (5.96 ms) + slab bdim (~3 ms) < fused pred_corr (14.2 ms)
-    # at 256³ — the fusion saved the f round-trip but pays full-field μ reads
-    if (plf.use_pallas_flat(u_adv) and cfg.fused_pc and plain
-            and cfg.band_x is None):
-        return plf.pred_corr_k(u_adv, u_base, u0, state.V, state.mu0,
-                               state.mu1, dt, state.nu, cfg.scheme,
-                               keep_base, scale, g)
     # fused conv_diff + band-exterior update: both `mom_step!` phases call
     # with u_adv == u_base, so the far-field BDIM (μ₀=1, μ₁=0, V=0) plus
     # interior scaling lands in the convection kernel's output pass and only
@@ -279,15 +266,20 @@ def _half_step(u_adv, u_base, u0, state, cfg, dt, f_t, keep_base, scale, g,
     if (plf.use_pallas_flat(u_adv) and plain and cfg.band_x is not None
             and u_adv is u_base):
         lo, hi = cfg.band_x
-        # f is consumed only on the band slab rows [lo−1, hi+1): skip its
-        # write-back DMA outside them — safe only when the slab stays clear
-        # of the never-written ghost rows 0 / Nx−1
-        f_rows = (lo - 1, hi + 1) if (2 <= lo < hi <= g.Nx - 2) else None
+        # ONE slab bound drives both the write-skip range and the consumer
+        # slice below — they must not drift apart (rows outside the written
+        # range are uninitialized HBM)
+        slab_lo, slab_hi = lo - 1, hi + 1
+        # f is consumed only on the band slab rows: skip its write-back DMA
+        # outside them — safe only when the slab stays clear of the
+        # never-written ghost rows 0 / Nx−1
+        f_rows = ((slab_lo, slab_hi)
+                  if (1 <= slab_lo < slab_hi <= g.Nx - 1) else None)
         u, f = plf.conv_diff_k(u_adv, state.nu, cfg.scheme, g,
                                cheap=(u0, dt, float(keep_base), float(scale)),
                                f_rows=f_rows)
         if hi > lo:
-            sl = slice(lo - 1, hi + 1)
+            sl = slice(slab_lo, slab_hi)
             gs = geom_of((hi - lo + 2, g.Ny, g.Nz))
             m_s = inside_mask_flat(gs, (hi - lo + 2, g.S, 128), u.dtype)
             u_pre = u_base[:, sl] if keep_base else u_base[:, sl] * (1.0 - m_s)
@@ -322,39 +314,27 @@ def mom_step_flat_impl(cfg: FlowCfg, state: FlowState, fmg, masks,
     u0 = state.u
     state = dataclasses.replace(state, u0=u0)
     fuse_bc = _kernel_bc_ok(cfg, u0, ctx) and not cfg.exit_bc
-    fuse_resid = fuse_bc and cfg.fused_resid
 
-    def _bc_div(u, p, dt_w):
-        """post-half-step BC (+ divergence [+ solve-entry residual], fused
-        when kernel-eligible)."""
-        if fuse_resid:
-            # want_z=False: the solve runs off the entry residual r0 and
-            # never reads the RHS again — skip the dead z field write
-            x0 = p * dt_w
-            u, z, r0 = plf.bc_div_resid_k(u, cfg.ubc, x0, fmg.fine.L,
-                                          fmg.fine.D, fmg.fine.iD, g,
-                                          want_z=False)
-            return u, z, x0, r0
+    def _bc_div(u):
+        """post-half-step BC (+ divergence, fused when kernel-eligible)."""
         if fuse_bc:
-            u, z = plf.bc_div_k(u, cfg.ubc, g, save_exit=False)
-            return u, z, None, None
+            return plf.bc_div_k(u, cfg.ubc, g, save_exit=False)
         u = bc_vector_flat(u, cfg.ubc, g, save_exit=cfg.exit_bc,
                            perdir=cfg.perdir, t=t1, ctx=ctx, ctx3=ctx3)
-        return u, None, None, None
+        return u, None
 
     # predictor (`Flow.jl:157-161`)
     u = _half_step(u0, u0, u0, state, cfg, dt, t0, 0.0, 1.0, g, udf, ctx, ctx3)
-    u, z, x0, r0 = _bc_div(u, state.p, dt)
+    u, z = _bc_div(u)
     if cfg.exit_bc:
         u = exit_bc_flat(u, u0, dt, g, ctx)
     u, p, n1, s1, _ = _project_flat(u, state.p, fmg, masks, dt, cfg, g, t1,
-                                    ctx, ctx3, n_dist, z=z, x0=x0, r0=r0)
+                                    ctx, ctx3, n_dist, z=z)
     # corrector (`Flow.jl:163-165`)
     u = _half_step(u, u, u0, state, cfg, dt, t1, 1.0, 0.5, g, udf, ctx, ctx3)
-    u, z, x0, r0 = _bc_div(u, p, 0.5 * dt)
+    u, z = _bc_div(u)
     u, p, n2, s2, s_cfl = _project_flat(u, p, fmg, masks, 0.5 * dt, cfg, g,
-                                        t1, ctx, ctx3, n_dist, z=z, x0=x0,
-                                        r0=r0,
+                                        t1, ctx, ctx3, n_dist, z=z,
                                         want_cfl=_kernel_bc_ok(cfg, u, ctx))
     state = dataclasses.replace(state, u=u, p=p)
     if s_cfl is not None:

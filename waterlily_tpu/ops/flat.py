@@ -436,8 +436,7 @@ def residual_flat(L, D, iD, x, z, g: FlatGeom,
 def null_space_fix(r: jax.Array, g: FlatGeom, ctx=None) -> jax.Array:
     """The mean-subtraction null-space fix of `residual!`
     (`Poisson.jl:92-98`) on a raw residual whose ghosts/dead-cell entries are
-    already zero — shared by `residual_flat` and the fused entry-residual
-    kernel (`pallas_flat.bc_div_resid_k`)."""
+    already zero (`residual_flat`)."""
     from .dist import psum_all
 
     n = _global_n(g, ctx)

@@ -216,35 +216,33 @@ def _v_cycle_flat(fmg: FlatMG, masks, x, r, omega, g: FlatGeom,
 
 def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
                   itmx: int = 32, smooth_it: int = 4,
-                  unroll: int = 8,
                   perdir: tuple[int, ...] = (), ctx=None, ctx3=None,
                   n_dist: int = 0, fine_smooth_it: int = 0,
-                  r0=None, mp: bool = False,
-                  fine_presmooth: bool = True,
-                  lazy: bool = False) -> mg.MGSolveResult:
+                  mp: bool = False,
+                  fine_presmooth: bool = True) -> mg.MGSolveResult:
     """Flat multigrid solve; same iteration/stopping/gauge semantics as
-    `ops.multigrid.solve_mg` (cond-unrolled do-while so the Pallas kernels
-    stay pipelined — `lax.while_loop` de-pipelines them on the tunneled
-    backend).  ``smooth_it`` matches the reference smoother tunable
+    `ops.multigrid.solve_mg` (pure `lax.while_loop`, Pallas kernels in the
+    body — the measured-fastest and cheapest-to-compile solver form).
+    ``smooth_it`` matches the reference smoother tunable
     (`GaussSeidelRB!(p; it=4)`, `Poisson.jl:135-141`); both knobs come from
     `FlowCfg` — no environment reads at trace time.  ``ctx``/``ctx3``/
     ``n_dist`` select the x-decomposed variant (see `_v_cycle_flat`).
-    ``r0``, when given, is the raw entry residual already computed by the
-    fused BC+div+residual kernel (`pallas_flat.bc_div_resid_k`) — only the
-    null-space mean fix remains to apply.  ``mp``: mixed-precision smoothing
-    (bf16 coefficients + correction cascade, f32 x/r — see
-    `pallas_flat.gs_incr`); the entry residual, norms, stop criterion and
-    gauge all stay f32."""
-    from .flat import _global_n, null_space_fix
+    ``mp``: mixed-precision smoothing (bf16 coefficients + correction
+    cascade, f32 x/r — see `pallas_flat.gs_incr`); the entry residual,
+    norms, stop criterion and gauge all stay f32.
+
+    The fused tail's in-kernel (L1, Linf) accumulate per-lane then fold
+    (`pallas_flat._fold8`), a different reduction order from `norms_flat` —
+    near the tolerance the fused and sequential (or distributed) forms may
+    therefore differ by one iteration; physics is unaffected (the dual-norm
+    stop is the only consumer)."""
+    from .flat import _global_n
 
     f = fmg.fine
     dtype = x.dtype
     r1tol = jnp.asarray((tol / 10.0) * _global_n(g, ctx), dtype)
     rinf_tol = jnp.asarray(tol, dtype)
-    if r0 is None:
-        r = residual_flat(f.L, f.D, f.iD, x, z, g, perdir, ctx)
-    else:
-        r = null_space_fix(r0, g, ctx)
+    r = residual_flat(f.L, f.D, f.iD, x, z, g, perdir, ctx)
     r1, rinf = norms_flat(r, ctx)
     omega = jnp.asarray(1.0, dtype)
     stats = jnp.zeros((itmx + 1, 3), dtype).at[0].set(jnp.stack([rinf, r1, omega]))
@@ -252,8 +250,6 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
     def cond(c):
         x, r, r1, rinf, omega, n, stats = c
         conv = (r1 < r1tol) & (rinf < rinf_tol)
-        if lazy:     # accept a converged warm start (see `solve_mg`)
-            return (n < itmx) & ~conv
         return (n < itmx) & ((n == 0) | ~conv)
 
     import os as _os
@@ -301,14 +297,7 @@ def solve_mg_flat(fmg: FlatMG, masks, x, z, g: FlatGeom, tol: float = 2e-3,
         return (x, r, rnew, rinf, omega, n, stats)
 
     carry = (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats)
-    from . import pallas_flat as plf
-
-    k_unroll = min(itmx, unroll) if (plf.use_pallas_flat(x)
-                                     and not perdir and ctx is None) else 0
-    for _ in range(k_unroll):
-        carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
-    if itmx > k_unroll:
-        carry = jax.lax.while_loop(cond, body, carry)
+    carry = jax.lax.while_loop(cond, body, carry)
     x, r, r1, rinf, omega, n, stats = carry
     # canonical pressure gauge: zero mean on active cells, zero at dead
     # cells, ghosts kept (see `ops.multigrid.canonical_gauge`)

@@ -287,9 +287,9 @@ class MGSolveResult(NamedTuple):
 
 def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
              itmx: int = 32, perdir: tuple[int, ...] = (),
-             smooth_it: int = 4, unroll: int = 8, ctx=None,
+             smooth_it: int = 4, ctx=None,
              n_dist: int = 0, fine_smooth_it: int = 0,
-             fine_presmooth: bool = True, lazy: bool = False) -> MGSolveResult:
+             fine_presmooth: bool = True) -> MGSolveResult:
     """Multigrid pressure solve (`solver!`, `MultiLevelPoisson.jl:108-128`):
     V-cycle + fine smooth per iteration, adaptive relaxation
     ω ∈ [0.2, 1] (×0.9 on stall, ×1.02 on progress) and the dual-norm stop
@@ -311,11 +311,8 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
     def cond(c):
         x, r, r1, rinf, omega, n, stats = c
         # do-while: the reference always runs the first V-cycle before
-        # testing convergence (`MultiLevelPoisson.jl:113-124`); `lazy`
-        # accepts a warm start that already satisfies the SAME criterion
+        # testing convergence (`MultiLevelPoisson.jl:113-124`)
         conv = (r1 < r1tol) & (rinf < rinf_tol)
-        if lazy:
-            return (n < itmx) & ~conv
         return (n < itmx) & ((n == 0) | ~conv)
 
     def body(c):
@@ -333,19 +330,12 @@ def solve_mg(levels, masks, x: jax.Array, z: jax.Array, tol: float = 2e-3,
             stats, jnp.stack([rinf, rnew, omega])[None], (n, jnp.asarray(0, n.dtype)))
         return (x, r, rnew, rinf, omega, n, stats)
 
-    from . import pallas3d as pl3
-
     carry = (x, r, r1, rinf, omega, jnp.asarray(0, jnp.int32), stats)
-    # Unrolled cond-guarded iterations: identical do-while semantics, but the
-    # Pallas smoother kernels stay enabled (inside `lax.while_loop` custom
-    # calls de-pipeline ~15x on the tunneled backend; `lax.cond` is free and
-    # skips converged iterations).  The unroll only pays off when the fine
-    # level actually uses the kernels; otherwise keep the compact while_loop.
-    unroll = min(itmx, unroll) if pl3.use_pallas(x, ctx if n_dist > 0 else None) else 0
-    for _ in range(unroll):
-        carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
-    if itmx > unroll:
-        carry = jax.lax.while_loop(cond, body, carry)
+    # pure while_loop, Pallas kernels enabled in the body: measured both the
+    # fastest and the cheapest-to-compile solver form (round 1's "while_loop
+    # de-pipelines Pallas 15x" was an artifact of the div_k race; see
+    # docs/performance.md "Solver iteration structure — corrected")
+    carry = jax.lax.while_loop(cond, body, carry)
     x, r, r1, rinf, omega, n, stats = carry
     x = canonical_gauge(x, p.iD, fine_ctx)
     return MGSolveResult(sync_scalar(x, fine_ctx, perdir), r, n, stats)
@@ -375,10 +365,9 @@ def canonical_gauge(x: jax.Array, iD: jax.Array, ctx=None) -> jax.Array:
 def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
                       tol: float = 2e-3, itmx: int = 32,
                       perdir: tuple[int, ...] = (), smooth_it: int = 4,
-                      unroll: int = 8, ctx=None, n_dist: int = 0,
+                      ctx=None, n_dist: int = 0,
                       fine_smooth_it: int = 0,
-                      fine_presmooth: bool = True,
-                      lazy: bool = False) -> MGSolveResult:
+                      fine_presmooth: bool = True) -> MGSolveResult:
     """`solve_mg` with implicit forward-mode differentiation.
 
     Differentiating *through* the iterative solver gives lagged tangents: the
@@ -403,9 +392,9 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
     @jax.custom_jvp
     def _solve(levels, x, z):
         return solve_mg(levels, masks, x, z, tol=tol, itmx=itmx,
-                        perdir=perdir, smooth_it=smooth_it, unroll=unroll,
+                        perdir=perdir, smooth_it=smooth_it,
                         ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it,
-                        fine_presmooth=fine_presmooth, lazy=lazy)
+                        fine_presmooth=fine_presmooth)
 
     @_solve.defjvp
     def _solve_jvp(primals, tangents):
@@ -418,9 +407,9 @@ def solve_mg_implicit(levels, masks, x: jax.Array, z: jax.Array,
         dA_x = _mult_raw(PoissonLevel(dfine.L, dfine.D, dfine.iD), xs, fine_ctx)
         rhs = dz - dA_x
         dres = solve_mg(levels, masks, dx0, rhs, tol=tol, itmx=itmx,
-                        perdir=perdir, smooth_it=smooth_it, unroll=unroll,
+                        perdir=perdir, smooth_it=smooth_it,
                         ctx=ctx, n_dist=n_dist, fine_smooth_it=fine_smooth_it,
-                        fine_presmooth=fine_presmooth, lazy=lazy)
+                        fine_presmooth=fine_presmooth)
         f0 = np.zeros(res.iters.shape, jax.dtypes.float0)
         dout = MGSolveResult(dres.x, dres.r, f0, jnp.zeros_like(res.stats))
         return res, dout

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .flat import FlatGeom, yz_planes
 
 __all__ = ["use_pallas_flat", "conv_diff_k", "bdim_k", "bdim_band",
-           "pred_corr_k", "jacobi_incr", "gs_incr", "mult_k", "increment_k",
+           "jacobi_incr", "gs_incr", "mult_k", "increment_k",
            "div_k", "bc_k"]
 
 _INTERPRET = False
@@ -409,6 +409,11 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
     yv, zv, ins = _planes(g)
     steps = (None, g.Nz, 1)
     fused = cheap is not None
+    if f_rows is not None and not fused:
+        # the write-skip guard below is wired only into the fused outputs;
+        # silently ignoring f_rows would hand the caller fully-written rows
+        # today and uninitialized HBM after a refactor
+        raise ValueError("conv_diff_k: f_rows requires cheap= (fused mode)")
     # shift sharing: f_m1 of flux (i,j) is also uadv's ingredient in flux
     # (j,i) — hoisting the 9 −1-shifts saves ~20% of the kernel's VPU shift
     # work at the cost of 9 live window temporaries (measured switch)
@@ -454,12 +459,21 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
                             uadv = 0.5 * (uj_c + win[j][pl.ds(co - 1, bx)])
                         else:
                             uadv = 0.5 * (uj_c + _pshift(uj_c, -steps[i]))
+                        # v3: select the SCHEME ARGUMENTS by upwind direction
+                        # instead of evaluating the limiter twice and
+                        # selecting results — elementwise-identical values
+                        # (the selected inputs produce the selected output
+                        # bitwise), one QUICK evaluation instead of two.
+                        # The kernel is VPU-bound; this is ~1/3 of its
+                        # limiter arithmetic.
+                        pos = uadv > 0
+                        fa = jnp.where(pos, f_m2, f_p1)
+                        fb = jnp.where(pos, f_m1, fw_c)
+                        fc2 = jnp.where(pos, fw_c, f_m1)
+                        bnd = jnp.where(pos, jf == 1, jf == n_j - 1)
                         cds_lo = 0.5 * (fw_c + f_m1)
-                        up = jnp.where(jf == 1, cds_lo,
-                                       scheme(f_m2, f_m1, fw_c))
-                        dn = jnp.where(jf == n_j - 1, cds_lo,
-                                       scheme(f_p1, fw_c, f_m1))
-                        phi_c = uadv * jnp.where(uadv > 0, up, dn) \
+                        phi_c = uadv * jnp.where(bnd, cds_lo,
+                                                 scheme(fa, fb, fc2)) \
                             - nu_s * (fw_c - f_m1)
                         ri = ri + (phi_c - _pshift(phi_c, st))
                         continue
@@ -483,11 +497,14 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
                         uadv = 0.5 * (uj + _rshift(uj, -1))
                     else:
                         uadv = 0.5 * (uj + _pshift(uj, -steps[i]))
+                    # v3 argument-select (see the center-row path above)
+                    pos = uadv > 0
+                    fa = jnp.where(pos, f_m2, f_p1)
+                    fb = jnp.where(pos, f_m1, fw)
+                    fc2 = jnp.where(pos, fw, f_m1)
+                    bnd = jnp.where(pos, jf == 1, jf == n_j - 1)
                     cds_lo = 0.5 * (fw + f_m1)
-                    up = jnp.where(jf == 1, cds_lo, scheme(f_m2, f_m1, fw))
-                    dn = jnp.where(jf == n_j - 1, cds_lo,
-                                   scheme(f_p1, fw, f_m1))
-                    phi = uadv * jnp.where(uadv > 0, up, dn) \
+                    phi = uadv * jnp.where(bnd, cds_lo, scheme(fa, fb, fc2)) \
                         - nu_s * (fw - f_m1)
                     phi_ref[:] = phi
                     phi_c = phi_ref[pl.ds(co, bx)]
@@ -541,116 +558,6 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
     else:
         f = jnp.stack([_fix_ghost_rows(o, zrow, zrow) for o in outs[3:]])
     return u_new, f
-
-
-# ------------------------------------------------- fused predictor/corrector
-def pred_corr_k(u_adv: jax.Array, u_base: jax.Array, u0: jax.Array,
-                V: jax.Array, mu0: jax.Array, mu1: jax.Array, dt, nu,
-                scheme: Callable, keep_base: float, scale: float,
-                g: FlatGeom) -> jax.Array:
-    """One fused half-step: conv_diff(u_adv) → BDIM → interior scale
-    (`mom_step!` predictor/corrector bodies, `src/Flow.jl:157-165`), with no
-    intermediate f/fp round-trips to HBM:
-
-        f*  = u0 + dt·conv_diff(u_adv) − V            (extended rows)
-        upd = ½ Σⱼ μ₁[i,j]·(f*[+eⱼ] − f*[−eⱼ]) + V + μ₀·f*
-        out = interior ? scale·(keep_base·u_base + upd) : u_base
-
-    predictor: (u_adv=u0, u_base=u0, keep_base=0, scale=1) — reproduces
-    `scale_u!(0)` + `BDIM!`; corrector: (u_adv=u_base=projected u,
-    keep_base=1, scale=0.5) — the trapezoidal blend."""
-    Nx, S = g.Nx, g.S
-    steps = (None, g.Nz, 1)
-
-    def body(win, aux, scalars, ox, cos, bx):
-        dt_s, nu_s, kb, sc = scalars
-        yv, zv, ins = aux
-        uadv = win[0:3]
-        u0w = win[3:6]
-        vw = win[6:9]
-        ubw = win[9:12]
-        m0w = win[12:15]
-        m1w = win[15:24]
-        co3 = cos[0]
-        bxe = bx + 2          # extended rows [ox-1, ox+bx+1)
-
-        def inner(phi_ref):
-            outs = []
-            gx_e = (jax.lax.broadcasted_iota(jnp.int32, (bxe, S, 128), 0)
-                    + ox - 1)
-            m_e = ins * jnp.where((gx_e >= 1) & (gx_e <= Nx - 2), 1.0, 0.0)
-            m_c = m_e[1:bx + 1]
-            for i in range(3):
-                fw = uadv[i][:]
-                ri = jnp.zeros((bxe, S, 128), jnp.float32)
-                for j in range(3):
-                    st = steps[j]
-                    if st is None:
-                        f_m1 = _rshift(fw, -1)
-                        f_m2 = _rshift(fw, -2)
-                        f_p1 = _rshift(fw, 1)
-                        jf = (jax.lax.broadcasted_iota(jnp.int32, fw.shape, 0)
-                              + (ox - co3))
-                        n_j = Nx
-                    else:
-                        f_m1 = _pshift(fw, -st)
-                        f_m2 = _pshift(fw, -2 * st)
-                        f_p1 = _pshift(fw, st)
-                        jf = yv if j == 1 else zv
-                        n_j = g.Ny if j == 1 else g.Nz
-                    uj = uadv[j][:]
-                    if i == 0:
-                        ua = 0.5 * (uj + _rshift(uj, -1))
-                    else:
-                        ua = 0.5 * (uj + _pshift(uj, -steps[i]))
-                    cds_lo = 0.5 * (fw + f_m1)
-                    up = jnp.where(jf == 1, cds_lo, scheme(f_m2, f_m1, fw))
-                    dn = jnp.where(jf == n_j - 1, cds_lo,
-                                   scheme(f_p1, fw, f_m1))
-                    phi = ua * jnp.where(ua > 0, up, dn) - nu_s * (fw - f_m1)
-                    # NOTE: the scratch has one spare row beyond the window —
-                    # the +1-shifted read below can reach co3-1+bxe+1 =
-                    # window+1 rows at clamped (top / whole-array) blocks;
-                    # the spare row only lands on extended rows that are
-                    # ghosts, whose flux m_e masks away — but it must be a
-                    # finite value (0), not uninitialized memory: 0·NaN = NaN
-                    phi_ref[0:phi.shape[0]] = phi
-                    phi_ref[phi.shape[0]:phi.shape[0] + 1] = jnp.zeros(
-                        (1,) + phi.shape[1:], jnp.float32)
-                    phi_c = phi_ref[pl.ds(co3 - 1, bxe)]
-                    if st is None:
-                        phi_n = phi_ref[pl.ds(co3, bxe)]
-                    else:
-                        phi_n = _pshift(phi_c, st)
-                    ri = ri + (phi_c - phi_n)
-                # f* on the extended rows (u0/V windows are exactly bxe rows)
-                fp = u0w[i][:] + dt_s * (ri * m_e) - vw[i][:]
-                fp_c = fp[1:bx + 1]
-                acc = m1w[3 * i + 0][:] * (fp[2:bx + 2] - fp[0:bx])
-                acc = acc + m1w[3 * i + 1][:] * (_pshift(fp_c, g.Nz)
-                                                 - _pshift(fp_c, -g.Nz))
-                acc = acc + m1w[3 * i + 2][:] * (_pshift(fp_c, 1)
-                                                 - _pshift(fp_c, -1))
-                upd = 0.5 * acc + vw[i][1:bx + 1] + m0w[i][:] * fp_c
-                ub = ubw[i][:]
-                outs.append(m_c * sc * (kb * ub + upd) + (1.0 - m_c) * ub)
-            return outs
-
-        spare = (win[0].shape[0] + 1,) + win[0].shape[1:]
-        return pl.run_scoped(inner, pltpu.VMEM(spare, jnp.float32))
-
-    call = _halo_call(body, Nx, S, n_scalar=4,
-                      halos=[3, 3, 3, 1, 1, 1, 1, 1, 1] + [0] * 15,
-                      n_aux=3, n_out=3, bx=6, vmem_mb=128)
-    scal = [jnp.asarray(v, jnp.float32).reshape(1, 1)
-            for v in (dt, nu, keep_base, scale)]
-    arrays = ([u_adv[i] for i in range(3)] + [u0[i] for i in range(3)]
-              + [V[i] for i in range(3)] + [u_base[i] for i in range(3)]
-              + [mu0[i] for i in range(3)]
-              + [mu1[i, j] for i in range(3) for j in range(3)])
-    outs = call(scal, arrays, _planes(g))
-    return jnp.stack([_fix_ghost_rows(o, u_base[i][0:1], u_base[i][-1:])
-                      for i, o in enumerate(outs)])
 
 
 # ---------------------------------------------------------------- BDIM
@@ -801,8 +708,8 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
     x and r stay f32: ``x += ω·eps`` and ``r −= ω·A·eps`` accumulate in f32
     on center rows, so the solution update is exact given the (bf16-rounded,
     ~0.4% relative) correction — standard mixed-precision smoothing; every
-    solve re-enters with an exact f32 residual (`residual_flat` /
-    `bc_div_resid_k`), so smoother rounding never accumulates across solves.
+    solve re-enters with an exact f32 residual (`residual_flat`), so smoother
+    rounding never accumulates across solves.
     """
     Nx, S = g.Nx, g.S
     it = len(colors)
@@ -1203,83 +1110,6 @@ def bc_div_k(u: jax.Array, ubc, g: FlatGeom, save_exit: bool = False):
     return u_bc, dv
 
 
-def bc_div_resid_k(u: jax.Array, ubc, x: jax.Array, L: jax.Array,
-                   D: jax.Array, iD: jax.Array, g: FlatGeom,
-                   save_exit: bool = False, want_z: bool = True):
-    """`bc_div_k` extended with the solve-entry residual (`residual!`,
-    `src/Poisson.jl:92-98`): the projection's first solver action is
-    r = z − A·x₀ on the divergence it just computed, so one window pass emits
-
-        u_bc, z = BC!(u), div(u_bc);   r_raw = [iD≠0]·(z − A·x₀)·interior
-
-    saving the separate `mult_k` + residual pass (~1.9 ms at 256³).  The
-    null-space mean fix needs a global reduction and stays in the caller
-    (`ops.flat.null_space_fix`).  ``x₀`` is the dt-scaled warm start with
-    ghost planes exactly as the previous solve left them (non-periodic
-    `sync_ghost_flat` is the identity, so parity with `residual_flat` is
-    bitwise)."""
-    Nx, S = g.Nx, g.S
-
-    def body(win, aux, scalars, ox, cos, bx):
-        yv, zv, ins = aux
-        xw, l0w, l1w, l2w, dw, idw = win[3:]
-
-        def inner(r0, r1, r2):
-            refs = [r0, r1, r2]
-            for i in range(3):
-                uw = win[i][:]
-                ixr = (jax.lax.broadcasted_iota(jnp.int32, uw.shape, 0)
-                       + (ox - cos[i]))
-                refs[i][:] = _bc_update(uw, scalars[i], ixr, i, yv, zv, g,
-                                        save_exit, x_ghosts=(i == 0))
-            c0 = refs[0][pl.ds(cos[0], bx)]
-            u1c = refs[1][pl.ds(cos[1], bx)]
-            u2c = refs[2][pl.ds(cos[2], bx)]
-            s = (refs[0][pl.ds(cos[0] + 1, bx)] - c0) \
-                + (_pshift(u1c, g.Nz) - u1c) + (_pshift(u2c, 1) - u2c)
-            gx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ox
-            m = ins * jnp.where((gx >= 1) & (gx <= Nx - 2), 1.0, 0.0)
-            z = s * m
-            # A·x₀ on center rows (`mult_k` stencil)
-            cox, col = cos[3], cos[4]
-            x_c = xw[pl.ds(cox, bx)]
-            ax = x_c * dw[:]
-            ax = ax + xw[pl.ds(cox - 1, bx)] * l0w[pl.ds(col, bx)] \
-                + xw[pl.ds(cox + 1, bx)] * l0w[pl.ds(col + 1, bx)]
-            l1c = l1w[:]
-            l2c = l2w[:]
-            ax = ax + _pshift(x_c, -g.Nz) * l1c \
-                + _pshift(x_c, g.Nz) * _pshift(l1c, g.Nz)
-            ax = ax + _pshift(x_c, -1) * l2c \
-                + _pshift(x_c, 1) * _pshift(l2c, 1)
-            r = jnp.where(idw[:] == 0.0, 0.0, s - ax) * m
-            if want_z:
-                return [c0, u1c, u2c, z, r]
-            return [c0, u1c, u2c, r]
-
-        scr = [pltpu.VMEM(w.shape, jnp.float32) for w in win[:3]]
-        return pl.run_scoped(inner, *scr)
-
-    # vmem_mb=128: at S=528 the 9 double-buffered windows + 3 scratch refs
-    # need 101.5MB scoped — the 100MB default OOMs (first seen via
-    # benchmarks/roofline.py; the knob was previously untested at 256³)
-    call = _halo_call(body, Nx, S, n_scalar=3,
-                      halos=[1, 0, 0, 1, 1, 0, 0, 0, 0], n_aux=3,
-                      n_out=5 if want_z else 4, bx=8, pipeline=True,
-                      vmem_mb=128)
-    scal = [jnp.asarray(v, jnp.float32).reshape(1, 1) for v in ubc]
-    o = call(scal, [u[0], u[1], u[2], x, L[0], L[1], L[2], D, iD], _planes(g))
-    lo, hi = _bc_ghost_rows((u[:, 0], u[:, 1], u[:, -1], u[:, -2]), ubc, g,
-                            save_exit)
-    u_bc = jnp.stack([_fix_ghost_rows(o[i], lo[i][None], hi[i][None])
-                      for i in range(3)])
-    zrow = jnp.zeros((1, S, 128), jnp.float32)
-    if want_z:
-        return (u_bc, _fix_ghost_rows(o[3], zrow, zrow),
-                _fix_ghost_rows(o[4], zrow, zrow))
-    return u_bc, None, _fix_ghost_rows(o[3], zrow, zrow)
-
-
 def _proj_row(u: jax.Array, x: jax.Array, L: jax.Array, g: FlatGeom, k: int):
     """Corrected velocity ``u - L ∂x`` at interior x-row ``k`` (jnp slab) —
     feeds the ghost-row epilogue of `projbc_k`."""
@@ -1431,7 +1261,7 @@ def increment_k(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
 
     # Round-1 measured pipeline=False (the double-buffered variant collapsed
     # ~10x inside the cond-unrolled solver); the solver is now a pure
-    # while_loop (mg_unroll=0) where Pallas stays pipelined, so the flag is
+    # while_loop where Pallas stays pipelined, so the flag is
     # re-measurable via WLTPU_INC_PIPE (step_variants '+ipipe').
     pipe = os.environ.get("WLTPU_INC_PIPE", "0") == "1"
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, 0, 1, 1, 1, 1, 0],

@@ -208,13 +208,10 @@ class Simulation:
                  perdir: tuple[int, ...] = (), u0=None, exit_bc: bool = False,
                  scheme: Callable = fl.quick, body: Optional[Body] = None,
                  dtype=jnp.float32, tol: float = 2e-3, itmx: int = 32,
-                 smooth_it: Optional[int] = None, mg_unroll: Optional[int] = None,
-                 fused_pc: Optional[bool] = None,
+                 smooth_it: Optional[int] = None,
                  fine_smooth_it: Optional[int] = None,
-                 fused_resid: Optional[bool] = None,
                  mp_smooth: Optional[bool] = None,
                  fine_presmooth: Optional[bool] = None,
-                 lazy_solve: Optional[bool] = None,
                  min_coarse_cells: Optional[int] = None,
                  flow_ctor: Optional[Callable] = None, psolver: str = "mg",
                  engine: str = "auto"):
@@ -244,10 +241,8 @@ class Simulation:
             if mp_smooth is None and "WLTPU_MP_SMOOTH" not in _os.environ:
                 mp_smooth = True
         tuning = {} if flow_ctor is not None else dict(
-            smooth_it=smooth_it, mg_unroll=mg_unroll, fused_pc=fused_pc,
-            fine_smooth_it=fine_smooth_it, fused_resid=fused_resid,
-            mp_smooth=mp_smooth, fine_presmooth=fine_presmooth,
-            lazy_solve=lazy_solve)
+            smooth_it=smooth_it, fine_smooth_it=fine_smooth_it,
+            mp_smooth=mp_smooth, fine_presmooth=fine_presmooth)
         self.flow = ctor(tuple(dims), ubc, dt=dt, nu=nu, g=g, u0=u0,
                          perdir=tuple(perdir), exit_bc=exit_bc, scheme=scheme,
                          dtype=dtype, tol=tol, itmx=itmx, **tuning)

@@ -15,7 +15,47 @@ import os
 
 import jax
 
-__all__ = ["setup_compile_cache"]
+__all__ = ["setup_compile_cache", "strip_mosaic_locations"]
+
+
+def strip_mosaic_locations() -> None:
+    """Make persistent-cache keys insensitive to source-location churn.
+
+    JAX's cache key strips debug info from the OUTER stablehlo module, but a
+    Pallas kernel's Mosaic payload (the serialized MLIR inside the
+    `tpu_custom_call` backend config) keeps its locations — so ANY line shift
+    in a traced file (even a comment reflow) used to produce a different key
+    and a cold 256³ compile (~10 min on the tunneled backend; this is what
+    zeroed the round-4 driver benchmark).  Monkey-patch the Mosaic
+    serialization entry to round-trip the module through location-free
+    bytecode first: byte-identical payloads → stable keys across pure code
+    motion.  Verified: line shifts and file renames of a kernel no longer
+    change the key; logic changes still do.  Cost: one asm round trip per
+    pallas_call lowering (ms).  Mosaic error messages lose line info;
+    disable with WLTPU_STRIP_LOCS=0 when debugging a kernel crash.
+    """
+    if os.environ.get("WLTPU_STRIP_LOCS", "1") == "0":
+        return
+    try:
+        import jax._src.tpu_custom_call as tcc
+        from jax._src.lib.mlir import ir
+    except ImportError:  # pragma: no cover - future jax refactors
+        return
+    if getattr(tcc, "_wltpu_locs_stripped", False):
+        return
+    orig = tcc._lower_mosaic_module_to_asm
+
+    def patched(module, **kw):
+        try:
+            with module.context:
+                module = ir.Module.parse(module.operation.get_asm(
+                    binary=True, enable_debug_info=False))
+        except Exception:  # pragma: no cover - fall back to located module
+            pass
+        return orig(module, **kw)
+
+    tcc._lower_mosaic_module_to_asm = patched
+    tcc._wltpu_locs_stripped = True
 
 
 def _cpu_fingerprint() -> str:
@@ -43,6 +83,7 @@ def setup_compile_cache(platform: str | None = None) -> str:
     d = os.path.expanduser("~/.cache/jax_comp_cache")
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    strip_mosaic_locations()
     if platform:
         jax.config.update("jax_platforms", platform)
     return d
