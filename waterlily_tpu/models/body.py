@@ -168,7 +168,7 @@ def measure_sdf(body: Body, shape: tuple[int, ...], t=0.0,
 def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
                  dtype=jnp.float32, perdir: tuple[int, ...] = (),
                  exit_bc: bool = False, ctx=None, band_x=None,
-                 band_box=None):
+                 band_box=None, sparse_k=None, want_count: bool = False):
     """Fill the BDIM arrays ``(V, mu0, mu1, sdf)`` from the body geometry
     (`measure!`, `Body.jl:28-51`).
 
@@ -191,6 +191,20 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
     deviations reach a box face).  Under `vmap` a per-point `fastd²` skip
     gates only the select, not the compute — box-banding is what actually
     removes AD work on TPU.
+
+    ``sparse_k`` (static int, banded single-device only): gather-sparse
+    measure INSIDE the box.  A cheap raw-sdf sweep (`sdf_at`, no AD — the
+    dense analog of the reference's `fastd²` short-circuit, which also
+    gates on the RAW composed distance, `AutoBody.jl:31`) finds the ≤
+    ``sparse_k`` candidate band cells ``raw² < (2+ε)²``; the AD-bearing
+    face measures run only at those gathered points and scatter back into
+    the analytic far field.  EXACT vs the dense box sweep: a cell outside
+    the raw band has ``σ = raw`` (the reference returns the raw distance
+    there too) and so fails the band test ``σ² < (2+ε)²`` — its moments are
+    the far-field values either way.  The true candidate count is returned
+    with ``want_count``; when it exceeds ``sparse_k`` the overflow cells
+    keep far-field values and the CALLER must re-measure with a larger
+    capacity (`Simulation`'s escape-redo, like the box escape).
     """
     from ..ops.dist import offsets as dist_offsets
 
@@ -223,24 +237,66 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
 
     coords_c = loc_grid(None, shape, dtype, off)[(slice(None),) + xsl]
     inner_b = coords_c.shape[1:]
-    sig = jax.vmap(lambda x: body.measure_at(x, t, band2)[0])(
-        coords_c.reshape(D, -1).T).reshape(inner_b).astype(dtype)
-    in_band = sig**2 < band2
+    flat_c = coords_c.reshape(D, -1).T
+    sparse = banded and sparse_k is not None
+    count = None
+    if sparse:
+        # 1. AD-free raw-sdf sweep over the box (XLA dead-code-eliminates
+        #    the gradient work of generic `sdf_at` since fastd2=0 always
+        #    selects the raw distance; AutoBody overrides it outright)
+        raw = jax.vmap(lambda x: body.sdf_at(x, t))(flat_c).astype(dtype)
+        cmask = raw * raw < band2
+        count = jnp.sum(cmask.astype(jnp.int32))
+        nb = flat_c.shape[0]
+        # 2. gather candidate band cells; padding entries scatter out of
+        #    range (mode="drop") and gather a clamped dummy point
+        idx = jnp.nonzero(cmask, size=int(sparse_k), fill_value=nb)[0]
+        gidx = jnp.minimum(idx, nb - 1)
+        pts = flat_c[gidx]
+        sig_g = jax.vmap(lambda x: body.measure_at(x, t, band2)[0])(
+            pts).astype(dtype)
+        in_band_g = sig_g**2 < band2
+        sig = raw.at[idx].set(sig_g, mode="drop").reshape(inner_b)
+    else:
+        sig = jax.vmap(lambda x: body.measure_at(x, t, band2)[0])(
+            flat_c).reshape(inner_b).astype(dtype)
+        in_band = sig**2 < band2
 
     mu0_c, mu1_c, V_c = [], [], []
     for i in range(D):
-        coords = loc_grid(i, shape, dtype, off)[(slice(None),) + xsl]
-        flat = coords.reshape(D, -1).T
-        d, n, v = jax.vmap(lambda x: body.measure_at(x, t, band2))(flat)
-        d = d.reshape(inner_b)
-        n = n.T.reshape((D,) + inner_b)
-        v = v.T.reshape((D,) + inner_b)
-        # sign consistency with the cell-center sdf (`Body.jl:37`)
-        d = jnp.where(jnp.abs(d) <= 0.5, d, jnp.copysign(d, sig))
-        m0 = jnp.where(in_band, mu0_kernel(d, eps_k),
-                       jnp.where(sig < 0, 0.0, 1.0))
-        m1 = jnp.where(in_band, mu1_kernel(d, eps_k) * n, 0.0)
-        vv = jnp.where(in_band, v[i], 0.0)
+        if sparse:
+            # 3. face measure at gathered points only (face = center −½e_i)
+            fpts = pts.at[:, i].add(jnp.asarray(-0.5, dtype))
+            d, n, v = jax.vmap(lambda x: body.measure_at(x, t, band2))(fpts)
+            d = jnp.where(jnp.abs(d) <= 0.5, d, jnp.copysign(d, sig_g))
+            m0_g = jnp.where(in_band_g, mu0_kernel(d, eps_k),
+                             jnp.where(sig_g < 0, 0.0, 1.0)).astype(dtype)
+            m1_g = jnp.where(in_band_g[:, None],
+                             mu1_kernel(d, eps_k)[:, None] * n,
+                             0.0).astype(dtype)
+            vv_g = jnp.where(in_band_g, v[:, i], 0.0).astype(dtype)
+            # 4. scatter into the analytic far field (μ0: 0 deep inside by
+            #    the RAW sign — out-of-band cells have σ = raw)
+            m0 = jnp.where(raw < 0, 0.0, 1.0).at[idx].set(
+                m0_g, mode="drop").reshape(inner_b)
+            m1 = jnp.stack([jnp.zeros(nb, dtype).at[idx].set(
+                m1_g[:, j], mode="drop").reshape(inner_b)
+                for j in range(D)])
+            vv = jnp.zeros(nb, dtype).at[idx].set(
+                vv_g, mode="drop").reshape(inner_b)
+        else:
+            coords = loc_grid(i, shape, dtype, off)[(slice(None),) + xsl]
+            flat = coords.reshape(D, -1).T
+            d, n, v = jax.vmap(lambda x: body.measure_at(x, t, band2))(flat)
+            d = d.reshape(inner_b)
+            n = n.T.reshape((D,) + inner_b)
+            v = v.T.reshape((D,) + inner_b)
+            # sign consistency with the cell-center sdf (`Body.jl:37`)
+            d = jnp.where(jnp.abs(d) <= 0.5, d, jnp.copysign(d, sig))
+            m0 = jnp.where(in_band, mu0_kernel(d, eps_k),
+                           jnp.where(sig < 0, 0.0, 1.0))
+            m1 = jnp.where(in_band, mu1_kernel(d, eps_k) * n, 0.0)
+            vv = jnp.where(in_band, v[i], 0.0)
         if banded:  # paste the measured slab into the exact far field
             m0 = jnp.ones(inner, m0.dtype).at[paste].set(m0)
             m1 = jnp.zeros((D,) + inner, m1.dtype) \
@@ -262,4 +318,8 @@ def measure_fill(body: Body, shape: tuple[int, ...], t=0.0, eps_k: float = 1.0,
         far = jnp.asarray(band2**0.5 + 1.0, dtype)
         sig = jnp.full(inner, far, dtype).at[paste].set(sig)
     sigma = grow(sig)
+    if want_count:
+        if count is None:
+            count = jnp.sum((sig**2 < band2).astype(jnp.int32))
+        return V, mu0, mu1, sigma, count
     return V, mu0, mu1, sigma

@@ -116,6 +116,12 @@ class FlowCfg:
                                     # (`models.body.measure_fill(band_box=)`);
                                     # maintained alongside band_x by
                                     # `Simulation._set_band`
+    band_k: Optional[int] = None    # gather-sparse measure capacity (static
+                                    # candidate-band-cell count bound,
+                                    # `measure_fill(sparse_k=)`); power-of-2
+                                    # quantized and escape-grown by
+                                    # `Simulation` alongside band_box —
+                                    # measure state, not a tuning knob
     mp_smooth: bool = False         # mixed-precision MG smoothing on the flat
                                     # kernel path: bf16 coefficients +
                                     # correction cascade, f32 x/r updates

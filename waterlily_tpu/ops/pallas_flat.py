@@ -470,9 +470,12 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
                         fa = jnp.where(pos, f_m2, f_p1)
                         fb = jnp.where(pos, f_m1, fw_c)
                         fc2 = jnp.where(pos, fw_c, f_m1)
-                        bnd = jnp.where(pos, jf == 1, jf == n_j - 1)
+                        # arithmetic-valued select (i1-valued selects do not
+                        # lower in this Mosaic toolchain): zero exactly on
+                        # the relevant boundary slab of the upwind side
+                        bnd = jnp.where(pos, jf - 1, jf - (n_j - 1))
                         cds_lo = 0.5 * (fw_c + f_m1)
-                        phi_c = uadv * jnp.where(bnd, cds_lo,
+                        phi_c = uadv * jnp.where(bnd == 0, cds_lo,
                                                  scheme(fa, fb, fc2)) \
                             - nu_s * (fw_c - f_m1)
                         ri = ri + (phi_c - _pshift(phi_c, st))
@@ -502,9 +505,10 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
                     fa = jnp.where(pos, f_m2, f_p1)
                     fb = jnp.where(pos, f_m1, fw)
                     fc2 = jnp.where(pos, fw, f_m1)
-                    bnd = jnp.where(pos, jf == 1, jf == n_j - 1)
+                    bnd = jnp.where(pos, jf - 1, jf - (n_j - 1))
                     cds_lo = 0.5 * (fw + f_m1)
-                    phi = uadv * jnp.where(bnd, cds_lo, scheme(fa, fb, fc2)) \
+                    phi = uadv * jnp.where(bnd == 0, cds_lo,
+                                           scheme(fa, fb, fc2)) \
                         - nu_s * (fw - f_m1)
                     phi_ref[:] = phi
                     phi_c = phi_ref[pl.ds(co, bx)]

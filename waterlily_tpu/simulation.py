@@ -47,9 +47,11 @@ def _build_jit(body, state, t, cfg, eps_k, masks, flat, has_body):
     from .ops import flat as fo
     from .ops import mgflat
 
+    cnt = jnp.asarray(0, jnp.int32)
     if has_body:
-        V, mu0, mu1, _ = measure_fill(body, cfg.shape, t, eps_k, cfg.dtype,
-                                      cfg.perdir, cfg.exit_bc)
+        V, mu0, mu1, _, cnt = measure_fill(body, cfg.shape, t, eps_k,
+                                           cfg.dtype, cfg.perdir, cfg.exit_bc,
+                                           want_count=True)
         state = dataclasses.replace(state, V=V, mu0=mu0, mu1=mu1)
     levels = mg.update_mg(None, masks, state.mu0, cfg.perdir)
     if has_body and flat:
@@ -60,8 +62,8 @@ def _build_jit(body, state, t, cfg, eps_k, masks, flat, has_body):
         gm = fo.geom_of(cfg.shape)
         fstate = ff.state_to_flat(state, gm)
         fmg = mgflat._flatten_stack(levels, gm, masks)
-        return state, levels, band, fstate, fmg
-    return state, levels, band, None, None
+        return state, levels, band, fstate, fmg, cnt
+    return state, levels, band, None, None, cnt
 
 
 @partial(jax.jit, static_argnames=("cfg", "eps_k", "masks", "flat",
@@ -79,8 +81,10 @@ def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat, use_band=False):
     from .ops.flat import geom_of, to_flat
 
     box = cfg.band_box if use_band else None
-    V, mu0, mu1, _ = measure_fill(body, cfg.shape, t, eps_k, cfg.dtype,
-                                  cfg.perdir, cfg.exit_bc, band_box=box)
+    sk = cfg.band_k if use_band else None
+    V, mu0, mu1, _, cnt = measure_fill(body, cfg.shape, t, eps_k, cfg.dtype,
+                                       cfg.perdir, cfg.exit_bc, band_box=box,
+                                       sparse_k=sk, want_count=True)
     levels = mg.update_mg(None, masks, mu0, cfg.perdir)
     if flat:
         band = _band_box(V, mu0, mu1, cfg.perdir, box)
@@ -88,9 +92,9 @@ def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat, use_band=False):
         fmg = mgflat._flatten_stack(levels, gm, masks)
         fstate = dataclasses.replace(fstate, V=to_flat(V, gm),
                                      mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
-        return (V, mu0, mu1), levels, band, fstate, fmg
+        return (V, mu0, mu1), levels, band, fstate, fmg, cnt
     return ((V, mu0, mu1), levels,
-            jnp.zeros((len(cfg.shape), 2), jnp.int32), None, None)
+            jnp.zeros((len(cfg.shape), 2), jnp.int32), None, None, cnt)
 
 
 def _on_tpu() -> bool:
@@ -179,6 +183,15 @@ def _band_box(V, mu0, mu1, perdir=(), box=None):
 
 
 _BAND_PAD = 4    # extra rows so a slowly-drifting body doesn't retrace
+
+
+def _quant_k(count: int) -> int:
+    """Gather-sparse measure capacity for an observed candidate-band count:
+    1.6x margin (band drift between escape checks), power-of-2 quantized so
+    capacity growth retraces at most log2(V) times."""
+    import math as _math
+
+    return max(2048, 1 << int(_math.ceil(_math.log2(max(1, count) * 1.6))))
 
 
 def pcg_solve_fn(levels, masks, x, z, tol, itmx, perdir):
@@ -274,17 +287,24 @@ class Simulation:
         import os as _os2
 
         self._band_measure = _os2.environ.get("WLTPU_BAND_MEASURE", "1") == "1"
+        # gather-sparse banded measure (`measure_fill(sparse_k=)`):
+        # WLTPU_SPARSE_MEASURE=0 restores the dense box sweep
+        self._sparse_measure = _os2.environ.get("WLTPU_SPARSE_MEASURE",
+                                                "1") == "1"
         if psolver == "mg":
             # the whole device-side build (measure + MG stack + flat layout +
             # band bounds) runs as ONE program — see `_build_jit`
             self.masks = tuple(mg.level_shapes(
                 cfg.shape, min_cells=self._min_coarse)[1])
             self.solve_fn = None
-            state, self.levels, band, fstate, fmg = _build_jit(
+            state, self.levels, band, fstate, fmg, cnt = _build_jit(
                 self.body if has_body else None, self.flow.state,
                 jnp.asarray(0.0, cfg.dtype), cfg, float(eps), self.masks,
                 flat_on, has_body)
             self.flow.state = state
+            if has_body and flat_on and self._sparse_measure:
+                self.flow.cfg = cfg = dataclasses.replace(
+                    cfg, band_k=_quant_k(int(cnt)))
             if flat_on:
                 from .ops import flat as fo
 
@@ -381,11 +401,36 @@ class Simulation:
             for _ in range(8):
                 use_band = (flat_on and self._band_measure
                             and cfg.band_box is not None)
-                (V, mu0, mu1), self.levels, band, fstate, fmg = _remeasure_jit(
-                    self.body, fstate, jnp.asarray(t, cfg.dtype), cfg,
-                    float(self.eps), self.masks, flat_on, use_band)
+                if not (use_band and self._sparse_measure) and cfg.band_k:
+                    # sparse path off for this measure: drop the capacity
+                    # from the cfg key so the dense program is shared
+                    self.flow.cfg = cfg = dataclasses.replace(cfg,
+                                                              band_k=None)
+                (V, mu0, mu1), self.levels, band, fstate, fmg, cnt = \
+                    _remeasure_jit(self.body, fstate,
+                                   jnp.asarray(t, cfg.dtype), cfg,
+                                   float(self.eps), self.masks, flat_on,
+                                   use_band)
                 if not use_band:
                     break
+                if self._sparse_measure and cfg.band_k is None:
+                    # banded-dense measure (e.g. after a relocate): correct
+                    # as-is; re-arm the sparse path for the next measure
+                    self.flow.cfg = cfg = dataclasses.replace(
+                        cfg, band_k=_quant_k(int(cnt)))
+                if cfg.band_k:
+                    c = int(cnt)
+                    if c > int(0.85 * cfg.band_k):
+                        # capacity escape: overflow cells kept far-field
+                        # values — regrow and re-measure
+                        self.flow.cfg = cfg = dataclasses.replace(
+                            cfg, band_k=_quant_k(c))
+                        continue
+                    if _quant_k(c) < cfg.band_k // 2:
+                        # body shrank: padding points still pay AD — shrink
+                        # (next measure; this one is correct)
+                        self.flow.cfg = cfg = dataclasses.replace(
+                            cfg, band_k=_quant_k(c))
                 arr = np.asarray(band)
                 box = cfg.band_box
                 if int(arr[0, 1]) <= int(arr[0, 0]):
@@ -587,8 +632,10 @@ class Simulation:
             cfg = self.flow.cfg
             flat_on = self._flat is not None
             box = cfg.band_box if (flat_on and self._band_measure) else None
+            sk = cfg.band_k if (box is not None
+                                and self._sparse_measure) else None
             D = cfg.D
-            key = ("sim_scan_meas", n, flat_on, cfg, self.masks, id(udf))
+            key = ("sim_scan_meas", n, flat_on, cfg, self.masks, id(udf), sk)
 
             def mk():
                 masks, eps_k = self.masks, float(self.eps)
@@ -612,9 +659,10 @@ class Simulation:
 
                     def one(carry, _, body):
                         fstate, dt, t0, esc = carry
-                        V, mu0, mu1, _ = measure_fill(
+                        V, mu0, mu1, _, cnt = measure_fill(
                             body, cfg.shape, t0 + dt, eps_k, cfg.dtype,
-                            cfg.perdir, cfg.exit_bc, band_box=box)
+                            cfg.perdir, cfg.exit_bc, band_box=box,
+                            sparse_k=sk, want_count=True)
                         levels = mg.update_mg(None, masks, mu0, cfg.perdir)
                         fmg = mgflat._flatten_stack(levels, gm, masks)
                         fstate = dataclasses.replace(
@@ -622,10 +670,14 @@ class Simulation:
                             mu1=to_flat(mu1, gm))
                         bnds = _band_box(V, mu0, mu1, cfg.perdir, box)
                         esc = esc_check(esc, bnds)
+                        if sk is not None:
+                            # capacity escape: re-run the scan with a bigger
+                            # gather before overflow can drop band cells
+                            esc = esc | (cnt > int(0.85 * sk))
                         fstate, dt_n, iters, stats = ff.mom_step_flat_impl(
                             cfg, fstate, fmg, masks, gm, dt, t0, udf)
                         return ((fstate, dt_n, t0 + dt, esc),
-                                (dt_n, iters, stats, bnds))
+                                (dt_n, iters, stats, bnds, cnt))
                 else:
                     def one(carry, _, body):
                         state, dt, t0, esc = carry
@@ -639,7 +691,8 @@ class Simulation:
                             cfg, state, levels, masks, dt, t0, udf, None)
                         z = jnp.zeros((D, 2), jnp.int32)
                         return ((state, dt_n, t0 + dt, esc),
-                                (dt_n, iters, stats, z))
+                                (dt_n, iters, stats, z,
+                                 jnp.asarray(0, jnp.int32)))
 
                 @jax.jit
                 def run(state, body, dt, t0):
@@ -653,15 +706,21 @@ class Simulation:
             st0 = self._flat["state"] if flat_on else self.flow.state
             dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
             t0 = jnp.asarray(self.time, cfg.dtype)
-            (st, dt_n, _, esc), (dts, iters, stats, bands) = run(
+            (st, dt_n, _, esc), (dts, iters, stats, bands, cnts) = run(
                 st0, self.body, dt, t0)
             if box is not None and bool(esc):
                 arr = np.asarray(bands)          # (n, D, 2)
                 lo_r = arr[:, :, 0].min(axis=0)  # per-dim over all steps
                 hi_r = arr[:, :, 1].max(axis=0)
+                new_k = cfg.band_k
+                if sk is not None:
+                    kx = int(np.asarray(cnts).max())
+                    if kx > int(0.85 * sk):
+                        new_k = _quant_k(kx)
                 if int(hi_r[0]) <= int(lo_r[0]):   # body left the box
                     wide = None
                     band_x = None
+                    new_k = None       # dense relocate; measure() re-arms
                 else:
                     wide = tuple(
                         (max(1, min(int(lo_r[d]), box[d][0]) - 2 * _BAND_PAD),
@@ -669,9 +728,9 @@ class Simulation:
                              max(int(hi_r[d]), box[d][1]) + 2 * _BAND_PAD))
                         for d in range(D))
                     band_x = wide[0]
-                if wide != box:
+                if wide != box or new_k != cfg.band_k:
                     self.flow.cfg = dataclasses.replace(
-                        cfg, band_x=band_x, band_box=wide)
+                        cfg, band_x=band_x, band_box=wide, band_k=new_k)
                     continue            # redo from the saved entry state
             break
         if flat_on:
