@@ -176,3 +176,43 @@ def test_annulus():
     assert d == pytest.approx(0.25)
     assert np.allclose(n, [-1, 0], atol=1e-12)
     assert np.allclose(v, [0, 0.25], atol=1e-12)
+
+
+def test_sparse_measure_matches_dense():
+    # gather-sparse banded measure (`measure_fill(sparse_k=)`) is bitwise
+    # identical to the dense box sweep — incl. a scaled (pseudo-sdf) moving
+    # map, where the raw-sdf gather gate must match the reference's fastd2
+    # semantics (`AutoBody.jl:31`: the band test is gated on the RAW
+    # composed distance)
+    from waterlily_tpu.models.body import measure_fill
+
+    N = 22
+    ctr = jnp.full((3,), N / 2.0)
+    body = AutoBody(
+        lambda x, t: 0.8 * (jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 4.0),
+        lambda x, t: x - jnp.stack([1.5 * jnp.sin(0.3 * t), 0 * t, 0 * t]))
+    shape = (N + 2,) * 3
+    box = ((3, N - 1), (4, N - 2), (4, N - 2))
+    dense = measure_fill(body, shape, 0.7, 1.0, F64, band_box=box)
+    sp = measure_fill(body, shape, 0.7, 1.0, F64, band_box=box,
+                      sparse_k=4096, want_count=True)
+    assert int(sp[4]) > 0
+    for a, b in zip(dense, sp):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sparse_measure_count_reports_overflow():
+    # when the candidate count exceeds the capacity the returned count
+    # still reports the TRUE count, so the caller's escape can regrow
+    from waterlily_tpu.models.body import measure_fill
+
+    N = 22
+    ctr = jnp.full((3,), N / 2.0)
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - 5.0)
+    shape = (N + 2,) * 3
+    box = ((1, N + 1),) * 3
+    full = measure_fill(body, shape, 0.0, 1.0, F64, band_box=((2, N),) * 3,
+                        sparse_k=8192, want_count=True)
+    small = measure_fill(body, shape, 0.0, 1.0, F64, band_box=((2, N),) * 3,
+                         sparse_k=128, want_count=True)
+    assert int(small[4]) == int(full[4]) > 128

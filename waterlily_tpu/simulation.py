@@ -90,8 +90,8 @@ def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat, use_band=False):
         band = _band_box(V, mu0, mu1, cfg.perdir, box)
         gm = geom_of(cfg.shape)
         fmg = mgflat._flatten_stack(levels, gm, masks)
-        fstate = dataclasses.replace(fstate, V=to_flat(V, gm),
-                                     mu0=to_flat(mu0, gm), mu1=to_flat(mu1, gm))
+        fstate = dataclasses.replace(fstate, **_flat_moments(
+            fstate, V, mu0, mu1, gm, box if use_band else None, cfg.shape))
         return (V, mu0, mu1), levels, band, fstate, fmg, cnt
     return ((V, mu0, mu1), levels,
             jnp.zeros((len(cfg.shape), 2), jnp.int32), None, None, cnt)
@@ -180,6 +180,30 @@ def _band_box(V, mu0, mu1, perdir=(), box=None):
         hi = jnp.max(jnp.where(dev, ix + 1, 0))
         out.append(jnp.stack([lo, hi]))
     return jnp.stack(out)
+
+
+def _flat_moments(fstate, V, mu0, mu1, gm, box, shape):
+    """Flat-mirror refresh of the measured moments.  With a band ``box``
+    only the x-slab rows [lo−1, hi+1) convert and overwrite — valid because
+    (a) the measure writes the EXACT far field at every in-box cell outside
+    the band, so any cell leaving the band (or the box, next call) already
+    holds far values, and (b) the mirror was built by a full conversion and
+    every later banded measure preserves out-of-box rows, so they stay the
+    (time-invariant) far field.  The ±1 extension covers the x ghost rows
+    the measure-time BC fill derives from box rows."""
+    from .ops.flat import geom_of, to_flat
+
+    if box is None:
+        return dict(V=to_flat(V, gm), mu0=to_flat(mu0, gm),
+                    mu1=to_flat(mu1, gm))
+    a = max(0, box[0][0] - 1)
+    b = min(shape[0], box[0][1] + 1)
+    gsl = geom_of((b - a,) + tuple(shape[1:]))
+    sl = slice(a, b)
+    return dict(
+        V=fstate.V.at[:, sl].set(to_flat(V[:, sl], gsl)),
+        mu0=fstate.mu0.at[:, sl].set(to_flat(mu0[:, sl], gsl)),
+        mu1=fstate.mu1.at[:, :, sl].set(to_flat(mu1[:, :, sl], gsl)))
 
 
 _BAND_PAD = 4    # extra rows so a slowly-drifting body doesn't retrace
@@ -666,8 +690,8 @@ class Simulation:
                         levels = mg.update_mg(None, masks, mu0, cfg.perdir)
                         fmg = mgflat._flatten_stack(levels, gm, masks)
                         fstate = dataclasses.replace(
-                            fstate, V=to_flat(V, gm), mu0=to_flat(mu0, gm),
-                            mu1=to_flat(mu1, gm))
+                            fstate, **_flat_moments(fstate, V, mu0, mu1, gm,
+                                                    box, cfg.shape))
                         bnds = _band_box(V, mu0, mu1, cfg.perdir, box)
                         esc = esc_check(esc, bnds)
                         if sk is not None:
