@@ -1,16 +1,17 @@
 """Pre-warm the persistent XLA compile cache with the driver bench programs.
 
-The first 256^3 compile on the tunneled TPU backend takes ~10 min — far more
-than the driver's bench budget.  Compiled TPU executables are cached on disk
-(`waterlily_tpu.utils.cache.setup_compile_cache`), but ANY kernel change
-invalidates them, so run this after touching the compute path and before a
-bench round:
+The first 256^3 compile on the tunneled TPU backend takes ~5-10 min — more
+than the driver's bench budget can afford at the top rung.  Compiled TPU
+executables are cached on disk (`utils.cache.setup_compile_cache`), and
+since `strip_mosaic_locations` the cache survives pure code motion — but any
+LOGIC change to a traced file still invalidates it, so run this after the
+last compute-path commit of a session:
 
-    python benchmarks/warm_cache.py [sizes...]     # default: 256 128
+    python benchmarks/warm_cache.py            # full ladder + moving rung
+    python benchmarks/warm_cache.py 128 64     # specific sizes only
 
-Each size runs `bench.py` in single-rung mode (exactly the program the
-driver's ladder executes, including the measurement scan), so the driver's
-256^3-first ladder completes in ~2 min instead of timing out.
+It simply runs `bench.py`'s one-process upward ladder with a huge budget —
+exactly the programs (and cache keys) the driver's run will need.
 """
 import os
 import subprocess
@@ -21,32 +22,17 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
-    sizes = [int(s) for s in sys.argv[1:]] or [256, 128]
-    for N in sizes:
-        env = dict(os.environ, WLTPU_BENCH_N=str(N),
-                   WLTPU_BENCH_BUDGET_S="3600")
-        t0 = time.time()
-        cp = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
-                            env=env, capture_output=True, text=True)
-        tail = (cp.stdout.strip().splitlines() or [""])[-1]
-        print(f"{N}^3: rc={cp.returncode} {time.time() - t0:.0f}s {tail}",
-              flush=True)
-        if cp.returncode != 0:
-            sys.stderr.write(cp.stderr[-2000:])
-    # moving-body rung (bench.py runs it after the static ladder)
-    mn = os.environ.get("WLTPU_BENCH_MOVING", "128")
-    if mn != "0":
-        env = dict(os.environ, WLTPU_BENCH_MOVING_N=mn,
-                   WLTPU_BENCH_BUDGET_S="3600")
-        env.pop("WLTPU_BENCH_N", None)
-        t0 = time.time()
-        cp = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
-                            env=env, capture_output=True, text=True)
-        tail = (cp.stdout.strip().splitlines() or [""])[-1]
-        print(f"moving {mn}^3: rc={cp.returncode} {time.time() - t0:.0f}s "
-              f"{tail}", flush=True)
-        if cp.returncode != 0:
-            sys.stderr.write(cp.stderr[-2000:])
+    sizes = ",".join(sys.argv[1:]) or "64,128,256"
+    env = dict(os.environ, WLTPU_BENCH_LADDER=sizes,
+               WLTPU_BENCH_BUDGET_S="3600")
+    t0 = time.time()
+    cp = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                        env=env, capture_output=True, text=True)
+    tail = (cp.stdout.strip().splitlines() or [""])[-1]
+    print(f"ladder {sizes} (+moving): rc={cp.returncode} "
+          f"{time.time() - t0:.0f}s {tail}", flush=True)
+    if cp.returncode != 0:
+        sys.stderr.write(cp.stderr[-3000:])
 
 
 if __name__ == "__main__":

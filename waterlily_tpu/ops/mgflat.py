@@ -27,7 +27,8 @@ from .flat import (FlatGeom, from_flat, gauss_seidel_rb_flat, geom_of,
                    residual_flat, set_diag_flat, to_flat)
 from .poisson import PoissonLevel, coarse_solve
 
-__all__ = ["FlatMG", "make_mg_flat", "update_mg_flat", "solve_mg_flat"]
+__all__ = ["FlatMG", "make_mg_flat", "update_mg_flat", "restack_band",
+           "solve_mg_flat"]
 
 _FLAT_MIN_CELLS = 100_000    # levels below this stay in the 3D layout
 
@@ -98,6 +99,42 @@ def _flatten_stack(levels, g: FlatGeom, masks=None, n_dist: int = 0) -> FlatMG:
     fine = flat_level(levels[0], geoms[0])
     mids = tuple(flat_level(lv, gl) for lv, gl in zip(levels[1:nf], geoms[1:]))
     return FlatMG(fine, mids, tuple(levels[nf:]))
+
+
+def restack_band(prev: FlatMG, levels, g: FlatGeom, masks, box) -> FlatMG:
+    """Band-limited `_flatten_stack` for the moving-body remeasure: after a
+    banded measure the face coefficients L (= μ0) differ from ``prev`` only
+    inside the band box, so only the box's x-slab rows are layout-converted
+    per flat level (restriction shrinks the box level by level); D/iD are
+    recomputed in full — a cheap fused shift pass (`set_diag_flat`) vs the
+    layout repack that dominates `to_flat`.  Requires the ``prev`` invariant
+    of `simulation._flat_moments`: prev was built by a full conversion (or a
+    chain of band updates from one) and out-of-box rows carry the exact far
+    field — guaranteed because the measure writes far-field values at every
+    in-box out-of-band cell.  Tail (3D) levels are taken from ``levels``
+    unchanged."""
+    n_flat = 1 + len(prev.mids)
+    geoms = [geom_of(lv.L.shape[1:]) for lv in levels[:n_flat]]
+    lo, hi = int(box[0][0]), int(box[0][1])
+    flat_levels = []
+    for l, (lv, gl) in enumerate(zip(levels[:n_flat], geoms)):
+        plv = prev.fine if l == 0 else prev.mids[l - 1]
+        a = max(0, lo - 1)
+        b = min(gl.Nx, hi + 1)
+        if b <= a:
+            flat_levels.append(plv)
+        else:
+            gsl = geom_of((b - a,) + gl.shape3[1:])
+            L = plv.L.at[:, a:b].set(to_flat(lv.L[:, a:b], gsl))
+            D, iD = set_diag_flat(L, gl)
+            flat_levels.append(PoissonLevel(L, D, iD))
+        if l < len(masks) and masks[l][0]:
+            # padded fine row p -> coarse 1 + (p-1)//2; ±1 slack for the
+            # face-coefficient halving at the box edge
+            lo = max(1, (lo - 1) // 2)
+            hi = hi // 2 + 2
+    return FlatMG(flat_levels[0], tuple(flat_levels[1:]),
+                  tuple(levels[n_flat:]))
 
 
 def _level(fmg: FlatMG, l: int) -> PoissonLevel:

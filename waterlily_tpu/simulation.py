@@ -68,7 +68,8 @@ def _build_jit(body, state, t, cfg, eps_k, masks, flat, has_body):
 
 @partial(jax.jit, static_argnames=("cfg", "eps_k", "masks", "flat",
                                    "use_band"))
-def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat, use_band=False):
+def _remeasure_jit(body, fstate, fmg_prev, t, cfg, eps_k, masks, flat,
+                  use_band=False):
     """Fused moving-body re-measure (`measure!(sim)`, `WaterLily.jl:146-149`):
     measure + MG re-restriction + flat-field refresh + band bounds in one
     device program.  ``fstate`` is the authoritative flat state whose u/p are
@@ -89,7 +90,10 @@ def _remeasure_jit(body, fstate, t, cfg, eps_k, masks, flat, use_band=False):
     if flat:
         band = _band_box(V, mu0, mu1, cfg.perdir, box)
         gm = geom_of(cfg.shape)
-        fmg = mgflat._flatten_stack(levels, gm, masks)
+        if use_band and fmg_prev is not None:
+            fmg = mgflat.restack_band(fmg_prev, levels, gm, masks, box)
+        else:
+            fmg = mgflat._flatten_stack(levels, gm, masks)
         fstate = dataclasses.replace(fstate, **_flat_moments(
             fstate, V, mu0, mu1, gm, box if use_band else None, cfg.shape))
         return (V, mu0, mu1), levels, band, fstate, fmg, cnt
@@ -311,10 +315,15 @@ class Simulation:
         import os as _os2
 
         self._band_measure = _os2.environ.get("WLTPU_BAND_MEASURE", "1") == "1"
-        # gather-sparse banded measure (`measure_fill(sparse_k=)`):
-        # WLTPU_SPARSE_MEASURE=0 restores the dense box sweep
+        # gather-sparse banded measure (`measure_fill(sparse_k=)`): OFF by
+        # default — measured SLOWER than the dense box sweep at bench scale
+        # (128³ oscillating sphere: 2.73 ms sparse vs 0.13 ms dense-box;
+        # `benchmarks/remeasure_probe.py` — the nonzero/gather/scatter
+        # machinery costs more than the vectorized AD it saves).  Kept as an
+        # exact opt-in (WLTPU_SPARSE_MEASURE=1) for bodies whose band is a
+        # tiny fraction of a very large box (thin shells in big domains).
         self._sparse_measure = _os2.environ.get("WLTPU_SPARSE_MEASURE",
-                                                "1") == "1"
+                                                "0") == "1"
         if psolver == "mg":
             # the whole device-side build (measure + MG stack + flat layout +
             # band bounds) runs as ONE program — see `_build_jit`
@@ -432,6 +441,7 @@ class Simulation:
                                                               band_k=None)
                 (V, mu0, mu1), self.levels, band, fstate, fmg, cnt = \
                     _remeasure_jit(self.body, fstate,
+                                   self._flat["fmg"] if flat_on else None,
                                    jnp.asarray(t, cfg.dtype), cfg,
                                    float(self.eps), self.masks, flat_on,
                                    use_band)
@@ -682,13 +692,17 @@ class Simulation:
                     gm = self._flat["g"]
 
                     def one(carry, _, body):
-                        fstate, dt, t0, esc = carry
+                        fstate, fmg, dt, t0, esc = carry
                         V, mu0, mu1, _, cnt = measure_fill(
                             body, cfg.shape, t0 + dt, eps_k, cfg.dtype,
                             cfg.perdir, cfg.exit_bc, band_box=box,
                             sparse_k=sk, want_count=True)
                         levels = mg.update_mg(None, masks, mu0, cfg.perdir)
-                        fmg = mgflat._flatten_stack(levels, gm, masks)
+                        if box is not None:
+                            fmg = mgflat.restack_band(fmg, levels, gm, masks,
+                                                      box)
+                        else:
+                            fmg = mgflat._flatten_stack(levels, gm, masks)
                         fstate = dataclasses.replace(
                             fstate, **_flat_moments(fstate, V, mu0, mu1, gm,
                                                     box, cfg.shape))
@@ -700,11 +714,11 @@ class Simulation:
                             esc = esc | (cnt > int(0.85 * sk))
                         fstate, dt_n, iters, stats = ff.mom_step_flat_impl(
                             cfg, fstate, fmg, masks, gm, dt, t0, udf)
-                        return ((fstate, dt_n, t0 + dt, esc),
+                        return ((fstate, fmg, dt_n, t0 + dt, esc),
                                 (dt_n, iters, stats, bnds, cnt))
                 else:
                     def one(carry, _, body):
-                        state, dt, t0, esc = carry
+                        state, fmg, dt, t0, esc = carry
                         V, mu0, mu1, _ = measure_fill(
                             body, cfg.shape, t0 + dt, eps_k, cfg.dtype,
                             cfg.perdir, cfg.exit_bc, band_box=box)
@@ -714,24 +728,26 @@ class Simulation:
                         state, dt_n, iters, stats = fl.mom_step_impl(
                             cfg, state, levels, masks, dt, t0, udf, None)
                         z = jnp.zeros((D, 2), jnp.int32)
-                        return ((state, dt_n, t0 + dt, esc),
+                        return ((state, fmg, dt_n, t0 + dt, esc),
                                 (dt_n, iters, stats, z,
                                  jnp.asarray(0, jnp.int32)))
 
                 @jax.jit
-                def run(state, body, dt, t0):
+                def run(state, fmg0, body, dt, t0):
                     return jax.lax.scan(partial(one, body=body),
-                                        (state, dt, t0, jnp.asarray(False)),
+                                        (state, fmg0, dt, t0,
+                                         jnp.asarray(False)),
                                         None, length=n)
 
                 return (udf, run)
 
             run = _cached_fn(key, mk)[1]
             st0 = self._flat["state"] if flat_on else self.flow.state
+            fmg0 = self._flat["fmg"] if flat_on else ()
             dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
             t0 = jnp.asarray(self.time, cfg.dtype)
-            (st, dt_n, _, esc), (dts, iters, stats, bands, cnts) = run(
-                st0, self.body, dt, t0)
+            (st, _, dt_n, _, esc), (dts, iters, stats, bands, cnts) = run(
+                st0, fmg0, self.body, dt, t0)
             if box is not None and bool(esc):
                 arr = np.asarray(bands)          # (n, D, 2)
                 lo_r = arr[:, :, 0].min(axis=0)  # per-dim over all steps
