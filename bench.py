@@ -338,7 +338,8 @@ def _measure_moving(N: int, steps: int):
               f"({band0} -> {sim.flow.cfg.band_x}); rate includes a compile",
               file=sys.stderr, flush=True)
     print(f"# moving {N}^3 final dt={sim.flow.dt[-1]:.3f} band="
-          f"{sim.flow.cfg.band_x}", file=sys.stderr, flush=True)
+          f"{sim.flow.cfg.band_x} iters={sim.pois_n[-4:]}",
+          file=sys.stderr, flush=True)
     return N ** 3 * steps / elapsed
 
 

@@ -165,4 +165,72 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "insitu" in sys.argv:
+        insitu(int(sys.argv[2]) if len(sys.argv) > 2 else 128)
+    else:
+        main()
+
+
+def insitu(N=128):
+    """Full scan-iteration vs mom_step-only device times — the in-situ
+    composition check (component sums can miss fusion/aliasing effects)."""
+    import dataclasses
+
+    from waterlily_tpu import AutoBody, Simulation
+    from waterlily_tpu.models import flowflat as ff
+    from waterlily_tpu.models.body import measure_fill
+    from waterlily_tpu.ops import mgflat
+    from waterlily_tpu.ops import multigrid as mg
+    from waterlily_tpu.simulation import _band_box, _flat_moments
+
+    radius = N // 8
+    ctr = jnp.asarray([N / 3, N / 2, N / 2], jnp.float32)
+    amp, om = radius / 2.0, 1.0 / radius
+    body = AutoBody(
+        lambda x, t: jnp.sqrt(jnp.sum((x - ctr) ** 2)) - radius,
+        lambda x, t: x - jnp.stack([amp * jnp.sin(om * t), 0 * t, 0 * t]))
+    sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
+                     body=body, dtype=jnp.float32)
+    sim.sim_step_n(3, remeasure=True)
+    cfg = sim.flow.cfg
+    box = cfg.band_box
+    eps_k, masks = float(sim.eps), sim.masks
+    gm = sim._flat["g"]
+    fstate = sim._flat["state"]
+    fmg0 = sim._flat["fmg"]
+    print(f"# insitu N={N} box={box}", flush=True)
+
+    def row(name, t):
+        print(f"{name:28s} {t * 1e3:7.2f} ms", flush=True)
+
+    def step_only(carry):
+        fstate, fmg, dt, t0 = carry
+        fstate, dt_n, _, _ = ff.mom_step_flat_impl(cfg, fstate, fmg, masks,
+                                                   gm, dt, t0)
+        return (fstate, fmg, dt_n, t0 + dt)
+
+    def full_iter(carry, with_restack=True, with_moments=True):
+        fstate, fmg, dt, t0 = carry
+        V, mu0, mu1, _ = measure_fill(body, cfg.shape, t0 + dt, eps_k,
+                                      cfg.dtype, cfg.perdir, cfg.exit_bc,
+                                      band_box=box)
+        levels = mg.update_mg(None, masks, mu0, cfg.perdir)
+        if with_restack:
+            fmg = mgflat.restack_band(fmg, levels, gm, masks, box)
+        if with_moments:
+            fstate = dataclasses.replace(fstate, **_flat_moments(
+                fstate, V, mu0, mu1, gm, box, cfg.shape))
+        fstate, dt_n, _, _ = ff.mom_step_flat_impl(cfg, fstate, fmg, masks,
+                                                   gm, dt, t0)
+        return (fstate, fmg, dt_n, t0 + dt)
+
+    c0 = (fstate, fmg0, jnp.asarray(sim.flow.dt[-1], jnp.float32),
+          jnp.asarray(sim.time, jnp.float32))
+    row("mom_step only", scan_slope(step_only, c0))
+    row("full iter", scan_slope(full_iter, c0))
+    row("iter no restack", scan_slope(
+        lambda c: full_iter(c, with_restack=False), c0))
+    row("iter no moments", scan_slope(
+        lambda c: full_iter(c, with_moments=False), c0))
+    row("iter measure+step only", scan_slope(
+        lambda c: full_iter(c, with_restack=False, with_moments=False), c0))
