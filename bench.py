@@ -296,7 +296,13 @@ def _measure_moving(N: int, steps: int):
     (`Simulation.sim_step_n(remeasure=True)` — banded measure + MG
     re-restriction + momentum step fused per iteration).  Oscillation keeps
     the band envelope stable, so after two settling calls the timed call
-    re-traces nothing.  Returns cell-updates/s including the re-measure."""
+    re-traces nothing.  Returns cell-updates/s including the re-measure.
+
+    The timed call is ONE 3·steps-long scan: each `sim_step_n` call carries
+    a fixed host tail (the post-scan host remeasure + device→host fetches,
+    ~10 ms/fetch on the tunnel) that production users amortize over long
+    scans — measured in-scan iteration cost at 128³ is ~8 ms vs 22 ms/step
+    for a 10-step call (`benchmarks/remeasure_probe.py insitu`)."""
     import math
 
     import jax
@@ -320,6 +326,7 @@ def _measure_moving(N: int, steps: int):
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
                      body=AutoBody(sdf, map_fn), dtype=jnp.float32)
     probe = jax.jit(lambda st: st.u.reshape(-1)[0])
+    steps = 3 * steps
     for _ in range(2):     # compile + band-envelope settling
         sim.sim_step_n(steps, remeasure=True)
     st = sim._flat["state"] if sim._flat is not None else sim.flow.state

@@ -164,11 +164,6 @@ def main():
     row("flat moments (full)", scan_slope(lambda c, V, m0, m1: fm(c, V, m0, m1, False), t0, (V, m0, m1)))
 
 
-if __name__ == "__main__":
-    if "insitu" in sys.argv:
-        insitu(int(sys.argv[2]) if len(sys.argv) > 2 else 128)
-    else:
-        main()
 
 
 def insitu(N=128):
@@ -234,3 +229,10 @@ def insitu(N=128):
         lambda c: full_iter(c, with_moments=False), c0))
     row("iter measure+step only", scan_slope(
         lambda c: full_iter(c, with_restack=False, with_moments=False), c0))
+
+
+if __name__ == "__main__":
+    if "insitu" in sys.argv:
+        insitu(int(sys.argv[2]) if len(sys.argv) > 2 else 128)
+    else:
+        main()
