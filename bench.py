@@ -347,7 +347,7 @@ def _measure_moving(N: int, steps: int):
     print(f"# moving {N}^3 final dt={sim.flow.dt[-1]:.3f} band="
           f"{sim.flow.cfg.band_x} iters={sim.pois_n[-4:]}",
           file=sys.stderr, flush=True)
-    return N ** 3 * steps / elapsed
+    return N ** 3 * steps / elapsed, steps
 
 
 def _moving_result(N, rate, steps):
@@ -374,9 +374,9 @@ def main():
     if "WLTPU_BENCH_MOVING_N" in os.environ:
         # single moving-rung mode (experiments)
         N = int(os.environ["WLTPU_BENCH_MOVING_N"])
-        rate = _measure_moving(N, steps)
+        rate, n_timed = _measure_moving(N, steps)
         with _LOCK:
-            _BEST = _moving_result(N, rate, steps)
+            _BEST = _moving_result(N, rate, n_timed)
         _DONE.set()
         _emit_and_exit(0)
     if "WLTPU_BENCH_N" in os.environ:
@@ -416,9 +416,9 @@ def main():
     mn = int(os.environ.get("WLTPU_BENCH_MOVING", "128"))
     if _BEST is not None and mn > 0 and left() > 120:
         try:
-            rate = _measure_moving(mn, steps)
+            rate, n_timed = _measure_moving(mn, steps)
             with _LOCK:
-                _BEST["moving"] = _moving_result(mn, rate, steps)
+                _BEST["moving"] = _moving_result(mn, rate, n_timed)
         except Exception as e:
             print(f"# moving rung failed: {type(e).__name__}: "
                   f"{str(e)[:160]}", file=sys.stderr, flush=True)

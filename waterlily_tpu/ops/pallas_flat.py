@@ -442,23 +442,34 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
             # kernel is VPU-bound (109 GB/s at 256³ — roofline).  v1 via
             # WLTPU_CONV_V2=0.
             v2 = os.environ.get("WLTPU_CONV_V2", "1") == "1" and not share
+            # v4: memoized center-row shifts — u_i shifted by −e_j serves
+            # BOTH flux (i,j)'s f_m1 and flux (j,i)'s uadv ingredient (4 of
+            # the in-plane pshifts coincide); values bitwise-unchanged
+            u_cc = [win[k][pl.ds(co, bx)] for k in range(3)]
+            _memo = {}
+
+            def shc(k, sft):
+                if (k, sft) not in _memo:
+                    _memo[(k, sft)] = _pshift(u_cc[k], sft)
+                return _memo[(k, sft)]
+
             for i in range(3):
                 fw = win[i][:]
                 ri = jnp.zeros((bx, S, 128), jnp.float32)
                 for j in range(3):
                     st = steps[j]
                     if v2 and st is not None:
-                        fw_c = win[i][pl.ds(co, bx)]
-                        f_m1 = _pshift(fw_c, -st)
-                        f_m2 = _pshift(fw_c, -2 * st)
-                        f_p1 = _pshift(fw_c, st)
+                        fw_c = u_cc[i]
+                        f_m1 = shc(i, -st)
+                        f_m2 = shc(i, -2 * st)
+                        f_p1 = shc(i, st)
                         jf = yv if j == 1 else zv
                         n_j = g.Ny if j == 1 else g.Nz
-                        uj_c = win[j][pl.ds(co, bx)]
+                        uj_c = u_cc[j]
                         if i == 0:
                             uadv = 0.5 * (uj_c + win[j][pl.ds(co - 1, bx)])
                         else:
-                            uadv = 0.5 * (uj_c + _pshift(uj_c, -steps[i]))
+                            uadv = 0.5 * (uj_c + shc(j, -steps[i]))
                         # v3: select the SCHEME ARGUMENTS by upwind direction
                         # instead of evaluating the limiter twice and
                         # selecting results — elementwise-identical values
@@ -479,6 +490,48 @@ def conv_diff_k(u: jax.Array, nu, scheme: Callable, g: FlatGeom,
                                                  scheme(fa, fb, fc2)) \
                             - nu_s * (fw_c - f_m1)
                         ri = ri + (phi_c - _pshift(phi_c, st))
+                        continue
+                    if v2 and st is None:
+                        # v4: the x flux on a (bx+1)-row slab instead of the
+                        # full window — removes 3 full-window row-rotates and
+                        # the scratch round trip per component.  Reads that
+                        # would leave the window at the CLAMPED first/last
+                        # block (co==1 / co==3) use an in-window slab rotated
+                        # by one row; the wrap garbage lands only on the
+                        # domain-boundary phi row, where the v3 bnd-select
+                        # discards it (up at row 1 / dn at row Nx−1 are the
+                        # central fluxes).  bitwise-identical elsewhere.
+                        bq = bx + 1
+                        fw_x = win[i][pl.ds(co, bq)]
+                        f_m1 = win[i][pl.ds(co - 1, bq)]
+                        f_m2 = jnp.where(co >= 2,
+                                         win[i][pl.ds(jnp.maximum(co - 2, 0),
+                                                      bq)],
+                                         _rshift(f_m1, -1))
+                        f_p1 = jnp.where(co <= 2,
+                                         win[i][pl.ds(jnp.minimum(co + 1, 3),
+                                                      bq)],
+                                         _rshift(fw_x, 1))
+                        jf = (jax.lax.broadcasted_iota(
+                            jnp.int32, (bq, S, 128), 0) + ox)
+                        n_j = Nx
+                        if i == 0:
+                            uadv = 0.5 * (win[0][pl.ds(co, bq)]
+                                          + win[0][pl.ds(co - 1, bq)])
+                        else:
+                            uadv = 0.5 * (win[0][pl.ds(co, bq)]
+                                          + _pshift(win[0][pl.ds(co, bq)],
+                                                    -steps[i]))
+                        pos = uadv > 0
+                        fa = jnp.where(pos, f_m2, f_p1)
+                        fb = jnp.where(pos, f_m1, fw_x)
+                        fc2 = jnp.where(pos, fw_x, f_m1)
+                        bnd = jnp.where(pos, jf - 1, jf - (n_j - 1))
+                        cds_lo = 0.5 * (fw_x + f_m1)
+                        phi_x = uadv * jnp.where(bnd == 0, cds_lo,
+                                                 scheme(fa, fb, fc2)) \
+                            - nu_s * (fw_x - f_m1)
+                        ri = ri + (phi_x[:bx] - phi_x[1:])
                         continue
                     if st is None:
                         f_m1 = um1[i][0] if share else _rshift(fw, -1)
