@@ -344,7 +344,6 @@ class Simulation:
                 self._flat = {"g": fo.geom_of(cfg.shape), "state": fstate,
                               "fmg": fmg}
                 self._flat_fresh = False   # flat state newer than flow._state?
-                self.flow._refresh = self._pull_flat
             self._set_band(band if (has_body and flat_on) else None)
         elif psolver == "pcg":
             if has_body:
@@ -358,6 +357,10 @@ class Simulation:
             self.solve_fn = pcg_solve_fn
         else:
             raise ValueError(f"unknown psolver {psolver!r}")
+        # deferred post-scan remeasure (`_sim_step_n_moving`): the hook
+        # completes it before any host code reads the state
+        self._meas_stale: Optional[float] = None
+        self.flow._refresh = self._refresh_state
 
     # ------------------------------------------------------------- time
     @property
@@ -411,10 +414,42 @@ class Simulation:
             self.flow.cfg = dataclasses.replace(cfg, band_x=band_t,
                                                 band_box=box_t)
 
+    def _refresh_state(self):
+        """`Flow.state` access hook: complete any deferred post-scan
+        remeasure, then lazily sync the flat-engine 3D mirror.  The guard
+        makes re-entrant access from inside `measure()` a no-op."""
+        if getattr(self, "_in_refresh", False):
+            return
+        self._in_refresh = True
+        try:
+            self._ensure_measured()
+            self._pull_flat()
+        finally:
+            self._in_refresh = False
+
+    def _ensure_measured(self):
+        """Run a remeasure deferred by `_sim_step_n_moving`.  The moving scan
+        re-derives V/μ0/μ1 and the MG coefficients from the body at every
+        iteration, so its post-scan host refresh is LAZY: the fused
+        `_remeasure_jit` dispatch + band fetch (a fixed ~100 ms host tail per
+        scan call on the tunneled backend) only run when host code actually
+        reads the moments, steps outside the moving scan, or computes
+        metrics — consecutive `sim_step_n(remeasure=True)` calls skip it
+        entirely (the stale band rows of the carried solver stack are always
+        inside the next scan's band box — boxes widen monotonically under
+        escape — and are restacked from the fresh measure before first
+        use)."""
+        t = self._meas_stale
+        if t is None:
+            return
+        self._meas_stale = None
+        self.measure(t=t)
+
     # ------------------------------------------------------------- stepping
     def measure(self, t: Optional[float] = None):
         """Re-measure a dynamic body and refresh the multigrid coefficients
         (`measure!(sim)`, `WaterLily.jl:146-149`)."""
+        self._meas_stale = None       # a fresh measure supersedes a deferred one
         if isinstance(self.body, NoBody):
             return
         cfg = self.flow.cfg
@@ -508,6 +543,8 @@ class Simulation:
         Δt history and solver iteration counts."""
         if remeasure:
             self.measure()
+        else:
+            self._ensure_measured()
         cfg = self.flow.cfg
         dt = jnp.asarray(self.flow.dt[-1], cfg.dtype)
         t0 = jnp.asarray(self.time, cfg.dtype)
@@ -584,6 +621,7 @@ class Simulation:
         its host loop dispatches every kernel individually.)"""
         if remeasure and not isinstance(self.body, NoBody):
             return self._sim_step_n_moving(n, udf)
+        self._ensure_measured()
         from .parallel.dist import _cached_fn
 
         cfg = self.flow.cfg
@@ -779,13 +817,15 @@ class Simulation:
         else:
             self.flow.state = st
             self._sync_flat()
-        self.flow.dt.extend(np.asarray(dts).tolist())
-        self.flow.pois_n.extend(np.asarray(iters).reshape(-1).tolist())
+        dts_np, iters_np = jax.device_get((dts, iters))   # one batched fetch
+        self.flow.dt.extend(np.asarray(dts_np).tolist())
+        self.flow.pois_n.extend(np.asarray(iters_np).reshape(-1).tolist())
         self.solver_stats = stats[-1]
-        # final V/μ0/μ1/levels were consumed inside the scan; re-derive them
-        # (and the host band bookkeeping) at the final time so subsequent
-        # host-driven steps see exactly the state the loop form would leave
-        self.measure(t=self.time)
+        # final V/μ0/μ1/levels were consumed inside the scan; DEFER their
+        # host-side re-derivation (`_ensure_measured`): back-to-back moving
+        # scan calls never need it, and the access hook re-derives them at
+        # the final time before anything host-driven reads the state
+        self._meas_stale = self.time
         return self
 
     def sim_step(self, t_end: Optional[float] = None, *, remeasure: bool = True,
