@@ -717,7 +717,7 @@ def _gauss_cascade(rr, idw, Ls, eps, colors, par, ins, g: FlatGeom):
     return eps
 
 
-def _gs_bx(S: int, h: int) -> int:
+def _gs_bx(S: int, h: int, mp: bool = False) -> int:
     """Largest row-block size whose windows + live slice temporaries fit
     VMEM.  Model 24·bx + 32·h window-rows ≤ 88MB, calibrated on hardware
     at 256³ (S=528): it=3/bx=16 needs 141.5MB scoped VMEM (compile fails at
@@ -726,15 +726,33 @@ def _gs_bx(S: int, h: int) -> int:
     (95MB by this model) OOMs by 660K — register spills of the longer
     cascade — while it=4/bx=6 (82MB) compiles and is the measured it=4
     optimum (5.44 ms vs 5.97 bx=8-unpipelined, 6.0 full-recompute) — see
-    `benchmarks/gs_sweep.py`.  Override with WLTPU_GS_BX."""
+    `benchmarks/gs_sweep.py`.  Override with WLTPU_GS_BX.
+
+    ``mp``: most windows and cascade scratches are bf16, so the same VMEM
+    admits larger blocks — less halo-cascade recompute per center row for
+    the VPU-bound sweeps.  Row cost factor 0.75, calibrated at S=528
+    (`benchmarks/gs_bx_probe.py`): incr_gs(h=6) bx=10 compiles and is the
+    measured optimum (3.51 vs 3.85 ms at the f32 model's bx=6 for the
+    want_norms tail; 3.31 vs 4.34 for the plain form), bx=12 OOMs;
+    gs_incr(h=3) bx=12 compiles (2.57 ms vs 2.95 at bx=8).  mp candidates
+    cap at 12: bx=16 for the h=1 Jacobi was a measured REGRESSION (1.83 vs
+    1.63 ms — fewer blocks pipeline worse), and larger blocks at small S
+    are untested register-spill territory for the longer cascade."""
     env = os.environ.get("WLTPU_GS_BX")
     if env:
         return int(env)
-    per_row = S * 128 * 4
-    best = 4
-    for bx in (6, 8, 12, 16, 24, 32):
-        if (24 * bx + 32 * h) * per_row <= 88 * 1024 * 1024:
-            best = bx
+
+    def fit(factor, cands):
+        best = 4
+        for bx in cands:
+            if (24 * bx + 32 * h) * S * 128 * 4 * factor <= 88 * 1024 * 1024:
+                best = bx
+        return best
+
+    best = fit(1.0, (6, 8, 12, 16, 24, 32))
+    if mp:
+        # relax, never tighten: anything the f32 model admits fits in mp
+        best = max(best, fit(0.75, (6, 8, 10, 12)))
     return best
 
 
@@ -855,7 +873,7 @@ def gs_incr(x: jax.Array, r: jax.Array, L: jax.Array, D: jax.Array,
     # (WLTPU_GS_PIPE=0 to disable for sweeps)
     pipe = os.environ.get("WLTPU_GS_PIPE", "1") == "1"
     call = _halo_call(body, Nx, S, n_scalar=1, halos=[0, h, h, 0, h, h, h],
-                      n_aux=3, n_out=2, bx=_gs_bx(S, h), vmem_mb=128,
+                      n_aux=3, n_out=2, bx=_gs_bx(S, h, mp), vmem_mb=128,
                       pipeline=pipe,
                       in_dtypes=[jnp.float32, jnp.float32, cdt, cdt,
                                  cdt, cdt, cdt])
@@ -998,7 +1016,7 @@ def incr_gs(x: jax.Array, r: jax.Array, eps: jax.Array, L: jax.Array,
                              scr32, scr32)
 
     pipe = os.environ.get("WLTPU_GS_PIPE", "1") == "1"
-    bx = _gs_bx(S, h + 3)      # bigger live set than gs_incr: shrink blocks
+    bx = _gs_bx(S, h + 3, mp)  # bigger live set than gs_incr: shrink blocks
     call = _halo_call(body, Nx, S, n_scalar=1,
                       halos=[0, h, h + 1, h, h + 1, h + 1, h + 1, h + 1],
                       n_aux=3, n_out=2, bx=bx, vmem_mb=128, pipeline=pipe,
