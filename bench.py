@@ -298,11 +298,12 @@ def _measure_moving(N: int, steps: int):
     the band envelope stable, so after two settling calls the timed call
     re-traces nothing.  Returns cell-updates/s including the re-measure.
 
-    The timed call is ONE 3·steps-long scan: each `sim_step_n` call carries
-    a fixed host tail (the post-scan host remeasure + device→host fetches,
-    ~10 ms/fetch on the tunnel) that production users amortize over long
-    scans — measured in-scan iteration cost at 128³ is ~8 ms vs 22 ms/step
-    for a 10-step call (`benchmarks/remeasure_probe.py insitu`)."""
+    The timed call is ONE 6·steps-long scan: each `sim_step_n` call carries
+    a fixed host tail (device→host fetches + scan-exit sync, ~100 ms on the
+    tunnel — the post-scan remeasure itself is now deferred/lazy) that
+    production users amortize over long scans — measured in-scan iteration
+    cost at 128³ is 8.3 ms (30-step vs 60-step scan solve), vs 11.75/10.02
+    ms/step for 30/60-step calls."""
     import math
 
     import jax
@@ -326,7 +327,7 @@ def _measure_moving(N: int, steps: int):
     sim = Simulation((N, N, N), (1.0, 0.0, 0.0), radius, nu=radius / 1e3,
                      body=AutoBody(sdf, map_fn), dtype=jnp.float32)
     probe = jax.jit(lambda st: st.u.reshape(-1)[0])
-    steps = 3 * steps
+    steps = 6 * steps
     for _ in range(2):     # compile + band-envelope settling
         sim.sim_step_n(steps, remeasure=True)
     st = sim._flat["state"] if sim._flat is not None else sim.flow.state
