@@ -786,7 +786,11 @@ class Simulation:
             t0 = jnp.asarray(self.time, cfg.dtype)
             (st, _, dt_n, _, esc), (dts, iters, stats, bands, cnts) = run(
                 st0, fmg0, self.body, dt, t0)
-            if box is not None and bool(esc):
+            # ONE host round trip for the escape flag + history (an escape
+            # redo discards the history, but escapes are rare and the
+            # batched fetch saves a tunnel round trip on every normal call)
+            esc_np, dts_np, iters_np = jax.device_get((esc, dts, iters))
+            if box is not None and bool(esc_np):
                 arr = np.asarray(bands)          # (n, D, 2)
                 lo_r = arr[:, :, 0].min(axis=0)  # per-dim over all steps
                 hi_r = arr[:, :, 1].max(axis=0)
@@ -817,7 +821,6 @@ class Simulation:
         else:
             self.flow.state = st
             self._sync_flat()
-        dts_np, iters_np = jax.device_get((dts, iters))   # one batched fetch
         self.flow.dt.extend(np.asarray(dts_np).tolist())
         self.flow.pois_n.extend(np.asarray(iters_np).reshape(-1).tolist())
         self.solver_stats = stats[-1]
